@@ -1,0 +1,219 @@
+"""Typed, frozen configuration objects.
+
+Replaces the reference's single ~90-flag argparse namespace (main.py:15-220)
+with per-subsystem frozen dataclasses. Frozen + hashable means configs can be
+closed over by `jax.jit` as static data; the reference's runtime-mutation
+hacks (adaptive num_rays, multi-res schedules, GUI-editable AABB) become
+explicit schedule state threaded through the training loop instead of
+mutations of a shared namespace.
+
+Reference flag provenance is cited per-field (file:line into /root/reference).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from dataclasses import dataclass, field
+from typing import Optional, Tuple
+
+
+@dataclass(frozen=True)
+class RenderConfig:
+    """Volume-rendering configuration (reference: main.py:79-97, renderer.py)."""
+
+    # samples per proposal level; last entry is the final NeRF level
+    # (main.py:79-80 --num_steps 128 64 32)
+    num_steps: Tuple[int, ...] = (128, 64, 32)
+    # scene bound; with contraction enabled the grid bound becomes 2
+    # (main.py:223 hard override bound=128; renderer.py:149-157)
+    bound: float = 128.0
+    contract: bool = True
+    min_near: float = 0.2  # main.py:69-70
+    # 'white' | 'random' | 'last_sample' (main.py:83-84)
+    background: str = "last_sample"
+    # rays per chunk in staged inference (main.py:86-87)
+    max_ray_batch: int = 4096 * 4
+    density_thresh: float = 10.0  # main.py:88-89
+
+    @property
+    def grid_bound(self) -> float:
+        return 2.0 if self.contract else self.bound
+
+
+@dataclass(frozen=True)
+class HashGridConfig:
+    """One multiresolution hash grid (reference: gridencoder/grid.py:102-142)."""
+
+    input_dim: int = 3
+    num_levels: int = 16
+    level_dim: int = 2
+    base_resolution: int = 16
+    log2_hashmap_size: int = 19
+    desired_resolution: Optional[int] = None
+    per_level_scale: float = 2.0
+    gridtype: str = "hash"  # 'hash' | 'tiled'
+    interpolation: str = "linear"  # 'linear' | 'smoothstep'
+    align_corners: bool = False
+
+
+@dataclass(frozen=True)
+class ModelConfig:
+    """Field architecture (reference: nerf/network.py:94-219)."""
+
+    geom_feat_dim: int = 15  # network.py:99
+    # RGB grid: 16 levels x 2ch, 2^19 table, finest 2048*grid_bound (network.py:102)
+    grid_num_levels: int = 16
+    grid_level_dim: int = 2
+    grid_log2_hashmap: int = 19
+    grid_desired_resolution: int = 4096  # 2048 * grid_bound(=2)
+    grid_mlp_hidden: int = 64
+    grid_mlp_layers: int = 3
+    # view branch: SH degree 4 -> 16 dims (network.py:106-107)
+    sh_degree: int = 4
+    view_mlp_hidden: int = 32
+    view_mlp_layers: int = 3
+    # proposal networks (network.py:206-219)
+    prop_num_levels: int = 5
+    prop_level_dim: int = 2
+    prop_log2_hashmap: int = 17
+    prop_resolutions: Tuple[int, ...] = (128, 256)
+    prop_mlp_hidden: int = 16
+    prop_mlp_layers: int = 2
+
+    # --- SAM feature field (network.py:110-123) ---
+    with_sam: bool = False
+    sam_feat_dim: int = 256
+    s_grid_num_levels: int = 16
+    s_grid_level_dim: int = 8
+    s_grid_log2_hashmap: int = 19
+    s_grid_desired_resolution: int = 512
+    samvit_mlp_hidden: int = 256
+    samvit_mlp_layers: int = 5
+    samvit_skip_layers: Tuple[int, ...] = (2,)
+    sam_use_view_direction: bool = False  # main.py:31-32
+    sum_after_mlp: bool = False  # main.py:145-146
+
+    # --- mask field (network.py:125-203) ---
+    with_mask: bool = False
+    mask_mlp_type: str = "default"  # 'default' | 'lightweight_mask' | 'adaptive'
+    adaptive_mlp_type: str = "density"  # 'density' | 'rgb' | 'sam' (main.py:147-148)
+    n_inst: int = 2  # main.py:116-117
+    redundant_instance: int = 0  # main.py:143-144
+
+
+@dataclass(frozen=True)
+class TrainConfig:
+    """Optimization configuration (reference: main.py:75-109, 296-318)."""
+
+    iters: int = 20000
+    lr: float = 1e-2
+    adam_eps: float = 1e-15  # main.py:296
+    ema_decay: float = 0.95  # main.py:316
+    # ray-batch budget: num_rays adaptively scaled so that final-level points
+    # ~= num_points (main.py:92-97, utils.py:932-935). TPU build uses a fixed
+    # ray count per compiled program; buckets quantize the adaptation.
+    num_rays: int = 4096
+    adaptive_num_rays: bool = True
+    num_points: int = 2**18
+    # loss weights (main.py:100-109)
+    lambda_entropy: float = 0.0
+    lambda_tv: float = 0.0
+    lambda_wd: float = 0.0
+    lambda_proposal: float = 1.0
+    lambda_distort: float = 0.02
+    # proposal-update schedule (utils.py:910-911)
+    prop_warmup_steps: int = 3000
+    prop_update_every: int = 5
+    # checkpoint / eval cadence (main.py:40-43)
+    save_cnt: int = 20
+    eval_cnt: int = 5
+    max_keep_ckpt: int = 2  # utils.py:553-554
+
+
+@dataclass(frozen=True)
+class SamTrainConfig:
+    """Stage-2 SAM-feature distillation (reference: main.py:23-37)."""
+
+    online_resolution: int = 512  # main.py:29-30
+    cache_size: int = 256  # main.py:34-35
+    cache_interval: int = 4  # main.py:36-37
+    sam_ckpt: str = "./pretrained/sam_vit_h_4b8939.pth"
+    # camera augmentation: random fovy in [50, 70] deg at train
+    # (colmap_provider.py:989-1004), fixed 60 at eval
+    fovy_range: Tuple[float, float] = (50.0, 70.0)
+    eval_fovy: float = 60.0
+
+
+@dataclass(frozen=True)
+class MaskTrainConfig:
+    """Stage-3 mask-field training (reference: main.py:112-177)."""
+
+    label_regularization_weight: float = 0.0
+    patch_size: int = 1
+    incoherent_uncertainty_weight: float = 1.0
+    rgb_similarity_loss_weight: float = 0.0
+    rgb_similarity_threshold: float = 0.3
+    epsilon: float = 1e-6
+    rgb_similarity_exp_weight: float = 10.0
+    rgb_similarity_num_sample: int = 1
+    rgb_similarity_iter: int = -1
+    rgb_similarity_use_pred_logistics: bool = False
+    mixed_sampling: bool = False
+    local_sample_patch_size: int = 16
+    num_local_sample: int = 2
+    error_map: bool = False
+    error_map_size: int = 128
+    use_multi_res: bool = False
+    multi_res_update_iter: int = 100
+    max_multi_res_level: int = 2
+    use_dynamic_incoherent: bool = False
+    incoherent_update_iter: int = 50
+    incoherent_downsample_scale: int = 1
+    mask_folder_name: Optional[str] = None
+
+
+@dataclass(frozen=True)
+class DataConfig:
+    """Dataset configuration (reference: main.py:49-72, 212-217)."""
+
+    path: str = "."
+    data_type: str = "mip"  # mip | lerf | llff | 3dfront | ctr | pano | lift
+    train_split: str = "train"
+    test_split: str = "val"
+    val_type: str = "default"  # default | val_all | val_split (main.py:189)
+    downscale: int = 1
+    scale: float = -1.0
+    offset: Tuple[float, float, float] = (0.0, 0.0, 0.0)
+    enable_cam_near_far: bool = False
+    enable_cam_center: bool = False
+    random_image_batch: bool = False
+    preload: bool = True
+    camera_traj: str = "interp"  # interp | circle (main.py:45-46)
+    scene_name: str = "garden"
+    object_name: str = "table_whole"
+
+
+@dataclass(frozen=True)
+class Config:
+    """Top-level bundle threaded through the framework."""
+
+    workspace: str = "workspace"
+    seed: int = 0
+    ckpt: str = "latest"  # latest | latest_model | best | scratch | <path>
+    init_ckpt: str = ""
+    test: bool = False
+    gui: bool = False
+    render: RenderConfig = field(default_factory=RenderConfig)
+    model: ModelConfig = field(default_factory=ModelConfig)
+    train: TrainConfig = field(default_factory=TrainConfig)
+    sam: SamTrainConfig = field(default_factory=SamTrainConfig)
+    mask: MaskTrainConfig = field(default_factory=MaskTrainConfig)
+    data: DataConfig = field(default_factory=DataConfig)
+
+    def replace(self, **kw) -> "Config":
+        return dataclasses.replace(self, **kw)
+
+
+def replace(cfg, **kw):
+    """dataclasses.replace that works on any of the frozen configs."""
+    return dataclasses.replace(cfg, **kw)

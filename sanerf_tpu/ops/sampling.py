@@ -1,0 +1,143 @@
+"""Ray sampling math: AABB intersection, scene contraction, spacing
+functions, and CDF importance resampling.
+
+Replaces the pure-torch sampling utilities of the reference renderer
+(nerf/renderer.py:60-139, 249-278) with fixed-shape jnp formulations:
+
+- `searchsorted` is realized as a broadcast compare-and-sum — bin counts are
+  small and static (<=129), so an [N, T, T0+1] VPU reduction beats a
+  gather-based binary search on TPU and keeps everything fusable.
+- Randomness is explicit (`jax.random` keys) instead of global torch RNG.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+
+def contract(x: jax.Array) -> jax.Array:
+    """mip-NeRF-360 L-inf contraction (renderer.py:60-69).
+
+    Points with max-norm < 1 pass through; outside, the dominant coordinate
+    maps to (2 - 1/mag) * sign while others scale by 1/mag, contracting all
+    of space into [-2, 2]^3.
+    """
+    ax = jnp.abs(x)
+    mag = jnp.max(ax, axis=-1, keepdims=True)
+    idx = jnp.argmax(ax, axis=-1)
+    onehot = jax.nn.one_hot(idx, x.shape[-1], dtype=bool)
+    safe_mag = jnp.maximum(mag, 1e-12)
+    scale = jnp.where(onehot, (2.0 - 1.0 / safe_mag) / safe_mag, 1.0 / safe_mag)
+    return jnp.where(mag < 1.0, x, x * scale)
+
+
+def uncontract(z: jax.Array) -> jax.Array:
+    """Inverse contraction (renderer.py:72-81)."""
+    az = jnp.abs(z)
+    mag = jnp.max(az, axis=-1, keepdims=True)
+    idx = jnp.argmax(az, axis=-1)
+    onehot = jax.nn.one_hot(idx, z.shape[-1], dtype=bool)
+    scale_other = 1.0 / jnp.maximum(2.0 - mag, 1e-8)
+    scale_max = 1.0 / jnp.maximum(2.0 * mag - mag * mag, 1e-8)
+    scale = jnp.where(onehot, scale_max, scale_other)
+    return jnp.where(mag < 1.0, z, z * scale)
+
+
+def near_far_from_aabb(
+    rays_o: jax.Array,
+    rays_d: jax.Array,
+    aabb: jax.Array,
+    min_near: float = 0.05,
+) -> Tuple[jax.Array, jax.Array]:
+    """Slab-test ray/AABB intersection (renderer.py:122-139).
+
+    Returns (near, far) of shape [N, 1]; non-intersecting rays get 1e9.
+    """
+    tmin = (aabb[:3] - rays_o) / (rays_d + 1e-15)
+    tmax = (aabb[3:] - rays_o) / (rays_d + 1e-15)
+    near = jnp.max(jnp.minimum(tmin, tmax), axis=-1, keepdims=True)
+    far = jnp.min(jnp.maximum(tmin, tmax), axis=-1, keepdims=True)
+    miss = far < near
+    near = jnp.where(miss, 1e9, near)
+    far = jnp.where(miss, 1e9, far)
+    near = jnp.maximum(near, min_near)
+    return near, far
+
+
+def spacing_fn(x: jax.Array) -> jax.Array:
+    """Mixed linear + lindisp warp (renderer.py:250-251)."""
+    return jnp.where(x < 1.0, x / 2.0, 1.0 - 1.0 / (2.0 * jnp.maximum(x, 1e-12)))
+
+
+def spacing_fn_inv(x: jax.Array) -> jax.Array:
+    """Inverse warp (renderer.py:252-253)."""
+    return jnp.where(x < 0.5, 2.0 * x, 1.0 / jnp.maximum(2.0 - 2.0 * x, 1e-12))
+
+
+def searchsorted_right(sorted_seq: jax.Array, values: jax.Array) -> jax.Array:
+    """Batched right-bisect: count of sorted_seq[n, :] <= values[n, t].
+
+    sorted_seq: [..., K], values: [..., T] -> int32 [..., T].
+    Broadcast compare-and-sum; K is small & static so this stays on the VPU.
+    """
+    cmp = sorted_seq[..., None, :] <= values[..., :, None]  # [..., T, K]
+    return jnp.sum(cmp, axis=-1).astype(jnp.int32)
+
+
+def sample_pdf(
+    bins: jax.Array,
+    weights: jax.Array,
+    T: int,
+    key: Optional[jax.Array] = None,
+) -> jax.Array:
+    """Inverse-CDF resampling of bin edges (renderer.py:84-119).
+
+    Args:
+      bins: [N, T0+1] previous bin edges (in s-space [0, 1]).
+      weights: [N, T0] previous compositing weights.
+      T: number of new edges to draw.
+      key: PRNG key for jittered stratified samples; None = deterministic
+        midpoints (perturb=False path).
+
+    Returns [N, T] new edges (caller treats them as stop-gradient,
+    renderer.py:275).
+    """
+    N, T0 = weights.shape
+    weights = weights + 0.01  # prevent NaNs (renderer.py:91)
+    pdf = weights / jnp.sum(weights, axis=-1, keepdims=True)
+    cdf = jnp.minimum(jnp.cumsum(pdf, axis=-1), 1.0)
+    cdf = jnp.concatenate([jnp.zeros_like(cdf[..., :1]), cdf], axis=-1)  # [N, T0+1]
+
+    u = jnp.linspace(0.5 / T, 1.0 - 0.5 / T, T, dtype=jnp.float32)
+    u = jnp.broadcast_to(u, (N, T))
+    if key is not None:
+        u = u + (jax.random.uniform(key, (N, T)) - 0.5) / T
+
+    inds = searchsorted_right(cdf, u)  # [N, T]
+    below = jnp.clip(inds - 1, 0, T0)
+    above = jnp.clip(inds, 0, T0)
+
+    cdf_g0 = jnp.take_along_axis(cdf, below, axis=-1)
+    cdf_g1 = jnp.take_along_axis(cdf, above, axis=-1)
+    bins_g0 = jnp.take_along_axis(bins, below, axis=-1)
+    bins_g1 = jnp.take_along_axis(bins, above, axis=-1)
+
+    denom = cdf_g1 - cdf_g0
+    t = jnp.clip(jnp.nan_to_num((u - cdf_g0) / jnp.where(denom == 0, 1.0, denom)), 0.0, 1.0)
+    t = jnp.where(denom == 0, 0.0, t)
+    return bins_g0 + t * (bins_g1 - bins_g0)
+
+
+def uniform_bins(
+    N: int, T: int, key: Optional[jax.Array] = None
+) -> jax.Array:
+    """Uniform [0,1] edges, optionally jittered (renderer.py:263-271)."""
+    bins = jnp.linspace(0.0, 1.0, T + 1, dtype=jnp.float32)
+    bins = jnp.broadcast_to(bins, (N, T + 1))
+    if key is not None:
+        bins = bins + (jax.random.uniform(key, (N, T + 1)) - 0.5) / T
+        bins = jnp.clip(bins, 0.0, 1.0)
+    return bins
