@@ -1,0 +1,418 @@
+"""NeRF field definitions: param pytrees + pure apply functions.
+
+Rebuild of the reference `NeRFNetwork` (nerf/network.py:94-308) as data
+(nested-dict param pytrees) plus pure functions, so the whole field stack is
+one jittable computation:
+
+- RGB branch: hash grid (16 lvl x 2ch, 2^19, finest 2048*bound) -> grid_mlp
+  MLP(32 -> 64x3 -> 16) emitting sigma=trunc_exp(f[...,0]) + 15-d geometric
+  feature (network.py:102-103, 221-229).
+- View branch: SH(4) + view_mlp MLP(31 -> 32x3 -> 3) (network.py:106-107).
+- 2 proposal fields: hash (5 lvl x 2ch, 2^17, res 128/256) + MLP(10 -> 16x2
+  -> 1) (network.py:206-219).
+- SAM feature field: s_grid (16 lvl x 8ch, finest 512) + samvit SkipConnMLP
+  (-> 256, 5 layers, skip@2) + LayerNorm(256) (network.py:110-123).
+- Mask field, 3 variants (network.py:125-203); `adaptive` consumes
+  intermediate activations of the other MLPs (renderer wiring at
+  renderer.py:399-451).
+
+Intentional deviations from the reference (latent bugs fixed, noted):
+- samvit/lightweight-mask MLP input dims are derived from the actual
+  concatenated inputs; the reference hard-codes dims that only match its
+  shipped recipes (e.g. network.py:121 assumes sam_use_view_direction).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Any, Dict, List, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from sanerf_tpu.config import HashGridConfig, ModelConfig, RenderConfig
+from sanerf_tpu.ops import hashgrid
+from sanerf_tpu.ops.activation import trunc_exp
+from sanerf_tpu.ops.sh import sh_encode, sh_output_dim
+
+Params = Dict[str, Any]
+
+
+# ---------------------------------------------------------------------------
+# MLP primitives (replaces network.py:9-75 MLP / SkipConnMLP)
+# ---------------------------------------------------------------------------
+
+
+def init_linear(key, d_in: int, d_out: int, bias: bool) -> Params:
+    """torch nn.Linear default init: U(-1/sqrt(d_in), 1/sqrt(d_in))."""
+    wkey, bkey = jax.random.split(key)
+    bound = 1.0 / (d_in**0.5)
+    p = {"w": jax.random.uniform(wkey, (d_in, d_out), jnp.float32, -bound, bound)}
+    if bias:
+        p["b"] = jax.random.uniform(bkey, (d_out,), jnp.float32, -bound, bound)
+    return p
+
+
+def apply_linear(p: Params, x: jax.Array) -> jax.Array:
+    y = jnp.dot(x, p["w"], preferred_element_type=jnp.float32)
+    if "b" in p:
+        y = y + p["b"]
+    return y
+
+
+def init_mlp(key, d_in: int, d_out: int, d_hidden: int, n_layers: int, bias: bool) -> List[Params]:
+    keys = jax.random.split(key, n_layers)
+    layers = []
+    for l in range(n_layers):
+        fin = d_in if l == 0 else d_hidden
+        fout = d_out if l == n_layers - 1 else d_hidden
+        layers.append(init_linear(keys[l], fin, fout, bias))
+    return layers
+
+
+def apply_mlp(
+    layers: Sequence[Params], x: jax.Array, save_intermediates: bool = False
+) -> Tuple[jax.Array, List[jax.Array]]:
+    """ReLU MLP; optionally returns per-layer (detached) activations —
+    post-ReLU for hidden layers, raw for the last (network.py:23-34)."""
+    inter: List[jax.Array] = []
+    n = len(layers)
+    for l, p in enumerate(layers):
+        x = apply_linear(p, x)
+        if l != n - 1:
+            x = jax.nn.relu(x)
+        if save_intermediates:
+            inter.append(jax.lax.stop_gradient(x))
+    return x, inter
+
+
+def init_skip_mlp(
+    key, d_in: int, d_out: int, d_hidden: int, n_layers: int,
+    skip_layers: Sequence[int], bias: bool,
+) -> List[Params]:
+    keys = jax.random.split(key, n_layers)
+    layers = []
+    for l in range(n_layers):
+        if l == 0:
+            fin = d_in
+        elif l in skip_layers:
+            fin = d_hidden + d_in
+        else:
+            fin = d_hidden
+        fout = d_out if l == n_layers - 1 else d_hidden
+        layers.append(init_linear(keys[l], fin, fout, bias))
+    return layers
+
+
+def apply_skip_mlp(
+    layers: Sequence[Params],
+    x: jax.Array,
+    skip_layers: Sequence[int],
+    save_intermediates: bool = False,
+) -> Tuple[jax.Array, List[jax.Array]]:
+    """LeakyReLU MLP with input skip connections (network.py:36-75)."""
+    x_in = x
+    inter: List[jax.Array] = []
+    n = len(layers)
+    for l, p in enumerate(layers):
+        if l in skip_layers:
+            x = jnp.concatenate([x, x_in], axis=-1)
+        x = apply_linear(p, x)
+        if l != n - 1:
+            x = jax.nn.leaky_relu(x, negative_slope=0.01)
+        if save_intermediates:
+            inter.append(jax.lax.stop_gradient(x))
+    return x, inter
+
+
+def apply_layernorm(p: Params, x: jax.Array, eps: float = 1e-5) -> jax.Array:
+    mu = jnp.mean(x, axis=-1, keepdims=True)
+    var = jnp.mean((x - mu) ** 2, axis=-1, keepdims=True)
+    return p["w"] * (x - mu) * jax.lax.rsqrt(var + eps) + p["b"]
+
+
+# ---------------------------------------------------------------------------
+# The model: static spec object + param init + apply fns
+# ---------------------------------------------------------------------------
+
+
+@dataclass(frozen=True)
+class NerfModel:
+    """Static (hashable) model specification; all shapes resolved here."""
+
+    cfg: ModelConfig
+    render_cfg: RenderConfig
+    grid_spec: hashgrid.HashGridSpec
+    prop_specs: Tuple[hashgrid.HashGridSpec, ...]
+    s_grid_spec: Optional[hashgrid.HashGridSpec]
+    m_grid_spec: Optional[hashgrid.HashGridSpec]
+
+    @property
+    def bound(self) -> float:
+        return self.render_cfg.grid_bound
+
+    @property
+    def view_in_dim(self) -> int:
+        return sh_output_dim(self.cfg.sh_degree)
+
+    @property
+    def color_dim(self) -> int:
+        # per-sample color feature = [geo_feat, sh(d)] (network.py:239)
+        return self.cfg.geom_feat_dim + self.view_in_dim
+
+    @property
+    def samvit_in_dim(self) -> int:
+        c = self.cfg
+        s_dim = self.s_grid_spec.output_dim
+        if c.sum_after_mlp:
+            # renderer.py:366-369: [features, f_colors|geo_feat, f_colors]
+            per = 3 if c.sam_use_view_direction else c.geom_feat_dim
+            return s_dim + per + 3
+        # renderer.py:377-383: [f_sam, f_image|geo_feat_sum, image, depth]
+        per = self.color_dim if c.sam_use_view_direction else c.geom_feat_dim
+        return s_dim + per + 3 + 1
+
+    def mask_out_dim(self) -> int:
+        return self.cfg.n_inst + self.cfg.redundant_instance
+
+
+def make_model(cfg: ModelConfig, render_cfg: RenderConfig) -> NerfModel:
+    grid_spec = hashgrid.build_spec(
+        HashGridConfig(
+            input_dim=3,
+            num_levels=cfg.grid_num_levels,
+            level_dim=cfg.grid_level_dim,
+            log2_hashmap_size=cfg.grid_log2_hashmap,
+            desired_resolution=int(2048 * render_cfg.grid_bound),
+        )
+    )
+    prop_specs = tuple(
+        hashgrid.build_spec(
+            HashGridConfig(
+                input_dim=3,
+                num_levels=cfg.prop_num_levels,
+                level_dim=cfg.prop_level_dim,
+                log2_hashmap_size=cfg.prop_log2_hashmap,
+                desired_resolution=res,
+            )
+        )
+        for res in cfg.prop_resolutions
+    )
+    s_grid_spec = None
+    if cfg.with_sam:
+        s_grid_spec = hashgrid.build_spec(
+            HashGridConfig(
+                input_dim=3,
+                num_levels=cfg.s_grid_num_levels,
+                level_dim=cfg.s_grid_level_dim,
+                log2_hashmap_size=cfg.s_grid_log2_hashmap,
+                desired_resolution=cfg.s_grid_desired_resolution,
+            )
+        )
+    m_grid_spec = None
+    if cfg.with_mask and cfg.mask_mlp_type == "default":
+        m_grid_spec = hashgrid.build_spec(
+            HashGridConfig(
+                input_dim=3, num_levels=16, level_dim=8, log2_hashmap_size=19,
+                desired_resolution=512,
+            )
+        )
+    elif cfg.with_mask and cfg.mask_mlp_type == "lightweight_mask":
+        m_grid_spec = hashgrid.build_spec(
+            HashGridConfig(
+                input_dim=3, num_levels=16, level_dim=2, log2_hashmap_size=10,
+                desired_resolution=256,
+            )
+        )
+    return NerfModel(
+        cfg=cfg,
+        render_cfg=render_cfg,
+        grid_spec=grid_spec,
+        prop_specs=prop_specs,
+        s_grid_spec=s_grid_spec,
+        m_grid_spec=m_grid_spec,
+    )
+
+
+def init_params(model: NerfModel, key: jax.Array) -> Params:
+    c = model.cfg
+    keys = iter(jax.random.split(key, 16))
+    params: Params = {
+        "grid": hashgrid.init_params(next(keys), model.grid_spec),
+        "grid_mlp": init_mlp(
+            next(keys), model.grid_spec.output_dim, 1 + c.geom_feat_dim,
+            c.grid_mlp_hidden, c.grid_mlp_layers, bias=False,
+        ),
+        "view_mlp": init_mlp(
+            next(keys), model.color_dim, 3, c.view_mlp_hidden, c.view_mlp_layers,
+            bias=False,
+        ),
+        "prop": [
+            {
+                "grid": hashgrid.init_params(next(keys), spec),
+                "mlp": init_mlp(
+                    next(keys), spec.output_dim, 1, c.prop_mlp_hidden,
+                    c.prop_mlp_layers, bias=False,
+                ),
+            }
+            for spec in model.prop_specs
+        ],
+    }
+    if c.with_sam:
+        params["s_grid"] = hashgrid.init_params(next(keys), model.s_grid_spec)
+        params["samvit_mlp"] = init_skip_mlp(
+            next(keys), model.samvit_in_dim, c.sam_feat_dim, c.samvit_mlp_hidden,
+            c.samvit_mlp_layers, c.samvit_skip_layers, bias=True,
+        )
+        params["samvit_norm"] = {
+            "w": jnp.ones((c.sam_feat_dim,)), "b": jnp.zeros((c.sam_feat_dim,))
+        }
+    if c.with_mask:
+        params.update(_init_mask_head(model, next(keys)))
+    return params
+
+
+def _init_mask_head(model: NerfModel, key: jax.Array) -> Params:
+    c = model.cfg
+    out = model.mask_out_dim()
+    keys = iter(jax.random.split(key, 12))
+    if c.mask_mlp_type == "default":
+        return {
+            "m_grid": hashgrid.init_params(next(keys), model.m_grid_spec),
+            "mask_mlp": init_skip_mlp(
+                next(keys), model.m_grid_spec.output_dim + c.geom_feat_dim, out,
+                256, 3, (), bias=False,
+            ),
+        }
+    if c.mask_mlp_type == "lightweight_mask":
+        # reference declares MLP(geom+view+4 -> out) but feeds
+        # [m_grid(32), colors(31)] (network.py:142 vs renderer.py:396-398);
+        # we size by the actual input
+        d_in = model.m_grid_spec.output_dim + model.color_dim
+        return {
+            "m_grid": hashgrid.init_params(next(keys), model.m_grid_spec),
+            "mask_mlp": init_mlp(next(keys), d_in, out, 64, 3, bias=False),
+        }
+    # adaptive: a ladder of bias-free linears over intermediate activations of
+    # the frozen backbone MLPs; NO activations between them
+    # (network.py:143-203, renderer.py:399-451)
+    H = 96
+    gmh, gin = c.grid_mlp_hidden, model.grid_spec.output_dim
+    geo = 1 + c.geom_feat_dim
+    vmh = c.view_mlp_hidden
+    smh = c.samvit_mlp_hidden
+    if c.adaptive_mlp_type == "rgb":
+        dims = [
+            (gin, H), (gmh + H, H), (gmh + H, H), (geo + H, H),
+            (vmh + H, H), (vmh + H, H), (H, H), (H, c.n_inst),
+        ]
+    elif c.adaptive_mlp_type == "density":
+        dims = [
+            (gin, H), (gmh + H, H), (gmh + H, H), (geo + H, H),
+            (H, H), (H, c.n_inst),
+        ]
+    elif c.adaptive_mlp_type == "sam":
+        dims = [
+            (gmh, 32), (gmh + 32, 32), (geo + 32, 64),
+            (smh + 64, 256), (smh + 256, 256), (smh + 256, 256),
+            (smh + 256, c.n_inst),
+        ]
+    else:
+        raise ValueError(c.adaptive_mlp_type)
+    return {"mask_mlp": [init_linear(next(keys), a, b, bias=False) for a, b in dims]}
+
+
+# ---------------------------------------------------------------------------
+# apply fns
+# ---------------------------------------------------------------------------
+
+
+def common_forward(
+    model: NerfModel, params: Params, x: jax.Array, save_intermediates: bool = False
+):
+    """grid encode -> grid_mlp -> (sigma, geo_feat, grid_output)
+    (network.py:221-229)."""
+    grid_output = hashgrid.hash_encode(x, params["grid"], model.grid_spec, model.bound)
+    f, inter = apply_mlp(params["grid_mlp"], grid_output, save_intermediates)
+    sigma = trunc_exp(f[..., 0])
+    geo_feat = f[..., 1:]
+    return sigma, geo_feat, grid_output, inter
+
+
+def forward(
+    model: NerfModel,
+    params: Params,
+    x: jax.Array,
+    d: jax.Array,
+    save_intermediates: bool = False,
+) -> Dict[str, Any]:
+    """Full field query at the final level (network.py:231-246).
+
+    x: [..., 3] contracted coordinates in [-bound, bound]; d: [..., 3] unit
+    view directions. `color` is the raw [geo_feat, sh(d)] concat — the view
+    MLP runs after compositing (renderer.py:338-345).
+    """
+    sigma, geo_feat, grid_output, inter = common_forward(model, params, x, save_intermediates)
+    sh = sh_encode(d, model.cfg.sh_degree)
+    color = jnp.concatenate([geo_feat, sh], axis=-1)
+    return {
+        "sigma": sigma,
+        "geo_feat": geo_feat,
+        "color": color,
+        "grid_output": grid_output,
+        "grid_mlp_inter": inter,
+    }
+
+
+def density(model: NerfModel, params: Params, x: jax.Array, proposal: int = -1) -> jax.Array:
+    """Density-only query; routes to proposal nets (network.py:248-259)."""
+    if 0 <= proposal < len(model.prop_specs):
+        spec = model.prop_specs[proposal]
+        p = params["prop"][proposal]
+        h = hashgrid.hash_encode(x, p["grid"], spec, model.bound)
+        f, _ = apply_mlp(p["mlp"], h)
+        return trunc_exp(f[..., 0])
+    sigma, _, _, _ = common_forward(model, params, x)
+    return sigma
+
+
+def sam_features(model: NerfModel, params: Params, x: jax.Array) -> jax.Array:
+    """s_grid lookup at sample points (renderer.py:302-303)."""
+    return hashgrid.hash_encode(x, params["s_grid"], model.s_grid_spec, model.bound)
+
+
+def mask_grid_features(model: NerfModel, params: Params, x: jax.Array) -> jax.Array:
+    return hashgrid.hash_encode(x, params["m_grid"], model.m_grid_spec, model.bound)
+
+
+def apply_samvit_head(
+    model: NerfModel, params: Params, f: jax.Array, save_intermediates: bool = False
+) -> Tuple[jax.Array, List[jax.Array]]:
+    """SkipConnMLP + LayerNorm(256) (network.py:120-123)."""
+    out, inter = apply_skip_mlp(
+        params["samvit_mlp"], f, model.cfg.samvit_skip_layers, save_intermediates
+    )
+    return apply_layernorm(params["samvit_norm"], out, eps=1e-5), inter
+
+
+def apply_total_variation(
+    model: NerfModel, params: Params, x01: jax.Array, weight: float
+) -> Params:
+    """TV grad contribution for the active grid (network.py:261-267):
+    s_grid when with_sam, m_grid when with_mask, else the RGB grid."""
+    c = model.cfg
+    if c.with_sam:
+        return {"s_grid": hashgrid.grad_total_variation(x01, params["s_grid"], model.s_grid_spec, weight)}
+    if c.with_mask and model.m_grid_spec is not None:
+        return {"m_grid": hashgrid.grad_total_variation(x01, params["m_grid"], model.m_grid_spec, weight)}
+    return {"grid": hashgrid.grad_total_variation(x01, params["grid"], model.grid_spec, weight)}
+
+
+def apply_weight_decay(model: NerfModel, params: Params, weight: float) -> Params:
+    """Level-meaned WD grad for the active grid (network.py:269-275)."""
+    c = model.cfg
+    if c.with_sam:
+        return {"s_grid": hashgrid.grad_weight_decay(params["s_grid"], model.s_grid_spec, weight)}
+    if c.with_mask and model.m_grid_spec is not None:
+        return {"m_grid": hashgrid.grad_weight_decay(params["m_grid"], model.m_grid_spec, weight)}
+    return {"grid": hashgrid.grad_weight_decay(params["grid"], model.grid_spec, weight)}

@@ -1,0 +1,331 @@
+"""Volume renderer: proposal-network hierarchical sampling + compositing.
+
+Rebuild of `NeRFRenderer.run/render` (nerf/renderer.py:142-464) as a pure
+function. The reference's design — fixed per-level sample counts (128/64/32),
+no occupancy grid, no ray compaction — is already the TPU-optimal shape:
+every level is a dense [N, T] computation (SURVEY.md §7 design stance), so
+`run_rays` compiles to one static XLA program per (shape, option) signature.
+
+Differences from the reference by design:
+- randomness is explicit (`key`); `perturb` threads stratified jitter keys.
+- `update_proposal` is a static bool realized as stop_gradient (the torch
+  version toggles `set_grad_enabled`, renderer.py:290); jit caches both
+  variants.
+- staged inference pads the last chunk to `max_ray_batch` so one compiled
+  program serves any image size (renderer.py:189-219 reallocates per chunk).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any, Dict, Optional
+
+import jax
+import jax.numpy as jnp
+
+from sanerf_tpu.models import fields
+from sanerf_tpu.models.fields import NerfModel, Params
+from sanerf_tpu.ops import (
+    composite,
+    compute_weights,
+    contract,
+    distort_loss,
+    near_far_from_aabb,
+    proposal_loss,
+    sample_pdf,
+    spacing_fn,
+    spacing_fn_inv,
+    uniform_bins,
+)
+
+
+def default_aabb(model: NerfModel) -> jax.Array:
+    b = model.render_cfg.bound
+    return jnp.asarray([-b, -b, -b, b, b, b], jnp.float32)
+
+
+def run_rays(
+    model: NerfModel,
+    params: Params,
+    rays_o: jax.Array,
+    rays_d: jax.Array,
+    key: Optional[jax.Array] = None,
+    *,
+    training: bool = False,
+    perturb: bool = False,
+    bg_color: Any = 1.0,
+    cam_near_far: Optional[jax.Array] = None,
+    update_proposal: bool = True,
+    return_feats: bool = False,
+    return_mask: bool = False,
+    aabb: Optional[jax.Array] = None,
+) -> Dict[str, jax.Array]:
+    """Render a ray batch (the hot loop; reference renderer.py:221-464).
+
+    Args:
+      rays_o, rays_d: [N, 3].
+      key: PRNG key (required when perturb).
+      bg_color: scalar or [N, 3].
+      cam_near_far: per-ray [N, 2] (or [1, 2]) near/far override.
+      aabb: [6] scene box; defaults to the config bound box. The GUI edits
+        this live (gui.py:317-320), so it is a runtime argument, not static.
+
+    Returns dict with: image [N,3], depth [N], weights_sum [N]; training
+    extras (weights, num_points, proposal_loss, distort_loss) on the RGB
+    stage; samvit [N,256] when return_feats; instance_mask_logits [N,I]
+    when return_mask.
+    """
+    cfg = model.render_cfg
+    mc = model.cfg
+    N = rays_o.shape[0]
+    num_steps = cfg.num_steps
+
+    if aabb is None:
+        aabb = default_aabb(model)
+    nears, fars = near_far_from_aabb(rays_o, rays_d, aabb, cfg.min_near)
+    if cam_near_far is not None:
+        nears = jnp.maximum(nears, cam_near_far[:, :1])
+        fars = jnp.minimum(fars, cam_near_far[:, 1:2])
+
+    s_nears = spacing_fn(nears)  # [N, 1]
+    s_fars = spacing_fn(fars)
+
+    if perturb:
+        assert key is not None, "perturb requires a PRNG key"
+        keys = jax.random.split(key, len(num_steps))
+    else:
+        keys = [None] * len(num_steps)
+
+    results: Dict[str, jax.Array] = {}
+    all_bins, all_weights = [], []
+    save_inter = mc.with_mask and mc.mask_mlp_type == "adaptive"
+
+    bins = None
+    weights = None
+    outputs = None
+    features = None
+    masks = None
+    for level, T in enumerate(num_steps):
+        last = level == len(num_steps) - 1
+        if level == 0:
+            bins = uniform_bins(N, T, keys[level])  # [N, T+1]
+        else:
+            bins = jax.lax.stop_gradient(
+                sample_pdf(bins, weights, T + 1, keys[level])
+            )  # [N, T+1]
+
+        real_bins = spacing_fn_inv(s_nears * (1.0 - bins) + s_fars * bins)
+        rays_t = (real_bins[..., 1:] + real_bins[..., :-1]) / 2.0  # [N, T]
+        xyzs = rays_o[:, None, :] + rays_d[:, None, :] * rays_t[..., None]  # [N, T, 3]
+        if cfg.contract:
+            xyzs = contract(xyzs)
+
+        if not last:
+            sigmas = fields.density(model, params, xyzs, proposal=level)
+            if not update_proposal:
+                sigmas = jax.lax.stop_gradient(sigmas)
+        else:
+            dirs = rays_d[:, None, :] / jnp.linalg.norm(
+                rays_d[:, None, :], axis=-1, keepdims=True
+            )
+            dirs = jnp.broadcast_to(dirs, xyzs.shape)
+            outputs = fields.forward(model, params, xyzs, dirs, save_inter)
+            sigmas = outputs["sigma"]
+            if mc.with_sam:
+                features = fields.sam_features(model, params, xyzs)
+            if return_mask and mc.mask_mlp_type in ("default", "lightweight_mask"):
+                masks = fields.mask_grid_features(model, params, xyzs)
+
+        weights = compute_weights(
+            real_bins, sigmas, opaque_background=cfg.background == "last_sample"
+        )
+        if training:
+            all_bins.append(bins)
+            all_weights.append(weights)
+
+    colors = outputs["color"]  # [N, T, 31]
+    geo_feat = outputs["geo_feat"]
+
+    weights_sum, depth, f_image = composite(weights, rays_t, colors)
+
+    view_inter = []
+    f_colors = None
+    if mc.sum_after_mlp:
+        # per-sample view MLP then composite (renderer.py:339-342)
+        f_colors, view_inter = fields.apply_mlp(params["view_mlp"], colors, save_inter)
+        f_colors_sum = jnp.sum(weights[..., None] * f_colors, axis=-2)
+        image = jax.nn.sigmoid(f_colors_sum)
+    else:
+        rgb_logits, view_inter = fields.apply_mlp(params["view_mlp"], f_image, save_inter)
+        image = jax.nn.sigmoid(rgb_logits)  # (renderer.py:345)
+
+    if training and not mc.with_mask and not mc.with_sam:
+        results["num_points"] = jnp.asarray(N * num_steps[-1])
+        results["weights"] = weights
+        results["proposal_loss"] = (
+            proposal_loss(all_bins, all_weights)
+            if update_proposal
+            else jnp.asarray(0.0)
+        )
+        results["distort_loss"] = distort_loss(bins, weights)
+
+    bg = jnp.asarray(bg_color, jnp.float32)
+    image = image + (1.0 - weights_sum)[..., None] * bg
+
+    results["weights_sum"] = weights_sum
+    results["depth"] = depth
+    results["image"] = image
+
+    sam_inter = []
+    if mc.with_sam:
+        # computed whenever the SAM field exists (renderer.py:364 gates only
+        # on with_sam); XLA dead-code-eliminates it when unused
+        if mc.sum_after_mlp:
+            # per-point head then composite (renderer.py:365-375)
+            if mc.sam_use_view_direction:
+                f = jnp.concatenate([features, f_colors, f_colors], axis=-1)
+            else:
+                f = jnp.concatenate([features, geo_feat, f_colors], axis=-1)
+            samvit_out, sam_inter = fields.apply_samvit_head(model, params, f, save_inter)
+            samvit = jnp.sum(weights[..., None] * samvit_out, axis=-2)
+        else:
+            # composite-then-head: one MLP per ray, not per sample
+            # (renderer.py:377-388)
+            f_sam = jnp.sum(weights[..., None] * features, axis=-2)
+            if mc.sam_use_view_direction:
+                mid = f_image
+            else:
+                mid = jnp.sum(weights[..., None] * geo_feat, axis=-2)
+            f = jnp.concatenate([f_sam, mid, image, depth[..., None]], axis=-1)
+            samvit, sam_inter = fields.apply_samvit_head(model, params, f, save_inter)
+        if return_feats:
+            results["samvit"] = samvit
+
+    if return_mask:
+        point_masks = _mask_head(
+            model, params, outputs, masks, colors,
+            view_inter=view_inter,
+            sam_inter=sam_inter,
+        )
+        results["instance_mask_logits"] = jnp.sum(
+            jax.lax.stop_gradient(weights)[..., None] * point_masks, axis=-2
+        )  # (renderer.py:453-454)
+
+    return results
+
+
+def _mask_head(
+    model: NerfModel,
+    params: Params,
+    outputs: Dict[str, Any],
+    m_feats: Optional[jax.Array],
+    colors: jax.Array,
+    view_inter,
+    sam_inter,
+) -> jax.Array:
+    """Per-point mask logits, 3 variants (renderer.py:392-451)."""
+    mc = model.cfg
+    mm = params["mask_mlp"]
+    sg = jax.lax.stop_gradient
+    if mc.mask_mlp_type == "default":
+        m = jnp.concatenate([m_feats, sg(outputs["geo_feat"])], axis=-1)
+        out, _ = fields.apply_skip_mlp(mm, m, ())
+        return out
+    if mc.mask_mlp_type == "lightweight_mask":
+        m = jnp.concatenate([m_feats, sg(colors)], axis=-1)
+        out, _ = fields.apply_mlp(mm, m)
+        return out
+    # adaptive: ladder of linears over detached intermediate activations;
+    # NO inter-layer activations (renderer.py:399-451)
+    gi = outputs["grid_mlp_inter"]
+    lin = fields.apply_linear
+    cat = lambda *xs: jnp.concatenate(xs, axis=-1)
+    if mc.adaptive_mlp_type == "rgb":
+        m = lin(mm[0], sg(outputs["grid_output"]))
+        m = lin(mm[1], cat(gi[0], m))
+        m = lin(mm[2], cat(gi[1], m))
+        m = lin(mm[3], cat(gi[2], m))
+        m = lin(mm[4], cat(view_inter[0], m))
+        m = lin(mm[5], cat(view_inter[1], m))
+        m = lin(mm[6], m)
+        return lin(mm[7], m)
+    if mc.adaptive_mlp_type == "density":
+        m = lin(mm[0], sg(outputs["grid_output"]))
+        m = lin(mm[1], cat(gi[0], m))
+        m = lin(mm[2], cat(gi[1], m))
+        m = lin(mm[3], cat(gi[2], m))
+        m = lin(mm[4], m)
+        return lin(mm[5], m)
+    if mc.adaptive_mlp_type == "sam":
+        m = lin(mm[0], gi[0])
+        m = lin(mm[1], cat(gi[1], m))
+        m = lin(mm[2], cat(gi[2], m))
+        m = lin(mm[3], cat(sam_inter[0], m))
+        m = lin(mm[4], cat(sam_inter[1], m))
+        m = lin(mm[5], cat(sam_inter[2], m))
+        return lin(mm[6], cat(sam_inter[3], m))
+    raise ValueError(mc.adaptive_mlp_type)
+
+
+#: Jitted renderer entry point. `model` and all mode flags are static; jit
+#: caches one executable per (shape, mode) signature. This is THE function
+#: every production path calls — raw `run_rays` is for composition inside
+#: other jitted programs (e.g. the train step).
+render_rays = jax.jit(
+    run_rays,
+    static_argnames=(
+        "model", "training", "perturb", "update_proposal", "return_feats",
+        "return_mask",
+    ),
+)
+
+
+def render_staged(
+    model: NerfModel,
+    params: Params,
+    rays_o: jax.Array,
+    rays_d: jax.Array,
+    key: Optional[jax.Array] = None,
+    *,
+    cam_near_far: Optional[jax.Array] = None,
+    chunk: Optional[int] = None,
+    **kwargs,
+) -> Dict[str, jax.Array]:
+    """Chunked whole-image inference (renderer.py:185-219).
+
+    Pads the last chunk to the fixed chunk size so every chunk reuses one
+    compiled program, then trims. Shared near/far ([1,2]) broadcasts.
+    """
+    N = rays_o.shape[0]
+    chunk = chunk or model.render_cfg.max_ray_batch
+    if N <= chunk:
+        return render_rays(
+            model, params, rays_o, rays_d, key,
+            cam_near_far=cam_near_far, **kwargs,
+        )
+
+    outs = []
+    for head in range(0, N, chunk):
+        tail = min(head + chunk, N)
+        ro, rd = rays_o[head:tail], rays_d[head:tail]
+        cnf = cam_near_far
+        if cnf is not None and cnf.shape[0] > 1:
+            cnf = cnf[head:tail]
+        pad = chunk - (tail - head)
+        if pad:
+            ro = jnp.concatenate([ro, jnp.broadcast_to(ro[-1:], (pad, 3))], 0)
+            rd = jnp.concatenate([rd, jnp.broadcast_to(rd[-1:], (pad, 3))], 0)
+            if cnf is not None and cnf.shape[0] > 1:
+                cnf = jnp.concatenate([cnf, jnp.broadcast_to(cnf[-1:], (pad, 2))], 0)
+        outs.append(
+            render_rays(model, params, ro, rd, key, cam_near_far=cnf, **kwargs)
+        )
+
+    merged: Dict[str, jax.Array] = {}
+    for k in outs[0]:
+        vals = [o[k] for o in outs]
+        if vals[0].ndim == 0:
+            merged[k] = vals[0]
+        else:
+            merged[k] = jnp.concatenate(vals, axis=0)[:N]
+    return merged

@@ -90,10 +90,11 @@ def build_spec(cfg: HashGridConfig) -> HashGridSpec:
     for lvl in range(cfg.num_levels):
         # table sizing uses ceil(base * scale**lvl) (grid.py:128) while the
         # kernel indexes with ceil(2^(lvl*S) * base) (gridencoder.cu:133);
-        # numerically identical for our configs — assert it below.
+        # these can differ by 1 from float rounding (e.g. 65 vs 64 for the
+        # s_grid at level 6) — mirror the reference: size by the former,
+        # index by the latter.
         res_table = int(np.ceil(cfg.base_resolution * scale**lvl))
-        res_kernel = int(np.ceil(np.exp2(lvl * S) * cfg.base_resolution))
-        assert res_table == res_kernel, (res_table, res_kernel, lvl)
+        res_kernel = int(np.ceil(np.exp2(np.float32(lvl) * np.float32(S)) * cfg.base_resolution))
         params_in_level = min(max_params, res_table**cfg.input_dim)
         params_in_level = int(np.ceil(params_in_level / 8) * 8)  # grid.py:130
         # hashed iff the dense stride overflows the table, CUDA-style:
@@ -103,9 +104,9 @@ def build_spec(cfg: HashGridConfig) -> HashGridSpec:
         for _ in range(cfg.input_dim):
             if stride > params_in_level:
                 break
-            stride *= res_table
+            stride *= res_kernel
         is_hashed = cfg.gridtype == "hash" and stride > params_in_level
-        resolutions.append(res_table)
+        resolutions.append(res_kernel)
         offsets.append(offset)
         sizes.append(params_in_level)
         hashed.append(is_hashed)
