@@ -1,0 +1,275 @@
+"""Trainer: the experiment loop around the jitted train/eval steps.
+
+Rebuild of the reference Trainer (nerf/utils.py:534-2166) as a thin host
+orchestrator: all math lives in jitted functions; the Python loop only
+feeds batches, flips the proposal-update schedule, logs, checkpoints, and
+runs metric meters. Workload-specific steps:
+
+- stage 1 RGB (this module) — utils.py:872-937
+- stage 2 SAM distillation — Trainer subclassing in train/distill.py
+- stage 3 mask fields — train/mask_trainer.py
+
+Design notes (TPU):
+- the step function is compiled once per (num_rays, update_proposal)
+  signature; `update_proposal_now` flips between two cached executables.
+- eval/test frames render through `render_staged` (fixed-chunk programs).
+- dispatch-ahead: the host enqueues the next step before blocking on the
+  previous step's metrics (metrics fetch only every `log_every` steps).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+from typing import Dict, List, Optional
+
+import jax
+import numpy as np
+
+from sanerf_tpu.config import Config
+from sanerf_tpu.data.rays import full_frame_rays
+from sanerf_tpu.models import fields, renderer
+from sanerf_tpu.models.fields import NerfModel
+from sanerf_tpu.train import checkpoints as ckpt_lib
+from sanerf_tpu.train import state as state_lib
+from sanerf_tpu.train.metrics import PSNRMeter
+
+
+class Trainer:
+    def __init__(
+        self,
+        name: str,
+        cfg: Config,
+        model: NerfModel,
+        workspace: Optional[str] = None,
+        metrics: Optional[List] = None,
+        use_checkpoint: str = "latest",
+        trainable=None,
+        init_params=None,
+    ):
+        self.name = name
+        self.cfg = cfg
+        self.model = model
+        self.metrics = metrics or [PSNRMeter()]
+        self.workspace = workspace or cfg.workspace
+        self.global_step = 0
+        self.epoch = 0
+        self.stats = {"results": [], "best_result": None, "checkpoints": []}
+        self.rng = np.random.default_rng(cfg.seed)
+        self.key = jax.random.key(cfg.seed)
+
+        os.makedirs(self.workspace, exist_ok=True)
+        self.log_path = os.path.join(self.workspace, f"log_{name}.txt")
+        self.ckpt_mgr = ckpt_lib.CheckpointManager(
+            self.workspace, name, max_keep=cfg.train.max_keep_ckpt
+        )
+
+        self.state = state_lib.create_train_state(
+            model, cfg.train, self._next_key(), params=init_params,
+            trainable=trainable,
+        )
+        self.trainable = trainable
+        self._train_step = state_lib.make_rgb_train_step(model, cfg.train, trainable)
+
+        # checkpoint autoload (utils.py:659-679)
+        if use_checkpoint != "scratch":
+            self.load_checkpoint(use_checkpoint)
+
+        self.log(
+            f"[INFO] Trainer {name} | workspace {self.workspace} | "
+            f"params {sum(int(np.prod(np.shape(l))) for l in jax.tree.leaves(self.state.params)):,}"
+        )
+
+    # -- infrastructure -----------------------------------------------------
+
+    def _next_key(self):
+        self.key, sub = jax.random.split(self.key)
+        return sub
+
+    def log(self, msg: str):
+        print(msg, flush=True)
+        with open(self.log_path, "a") as f:
+            f.write(msg + "\n")
+
+    # -- training -----------------------------------------------------------
+
+    def train(self, train_dataset, valid_dataset=None, max_epoch: int = 1,
+              steps_per_epoch: Optional[int] = None):
+        tc = self.cfg.train
+        steps_per_epoch = steps_per_epoch or len(train_dataset)
+        eval_interval = max(1, max_epoch // max(1, tc.eval_cnt))
+        save_interval = max(1, max_epoch // max(1, tc.save_cnt))
+        num_rays = state_lib.adaptive_num_rays(
+            tc, self.cfg.render.num_steps[-1]
+        )
+        self.log(
+            f"[INFO] train: {max_epoch} epochs x {steps_per_epoch} steps, "
+            f"num_rays={num_rays}, eval every {eval_interval}, save every {save_interval}"
+        )
+
+        for _ in range(self.epoch, max_epoch):
+            self.epoch += 1
+            t0 = time.time()
+            last_aux = None
+            for _ in range(steps_per_epoch):
+                self.global_step += 1
+                batch = train_dataset.collate_train(self.rng, num_rays)
+                up = state_lib.update_proposal_now(tc, self.global_step)
+                self.state, aux = self._train_step(
+                    self.state, _device_batch(batch), self._next_key(),
+                    update_proposal=up,
+                )
+                last_aux = aux
+            # fetch once per epoch (keeps the device pipeline full)
+            aux = {k: float(v) for k, v in last_aux.items()}
+            dt = time.time() - t0
+            self.log(
+                f"[epoch {self.epoch}] step {self.global_step} "
+                f"loss={aux['loss']:.6f} psnr={aux['psnr']:.2f} "
+                f"lr={aux['lr']:.2e} ({steps_per_epoch / dt:.1f} it/s)"
+            )
+            if valid_dataset is not None and self.epoch % eval_interval == 0:
+                self.evaluate_one_epoch(valid_dataset)
+            if self.epoch % save_interval == 0:
+                self.save_checkpoint(full=True)
+        self.save_checkpoint(full=True)
+
+    # -- evaluation ---------------------------------------------------------
+
+    def eval_params(self):
+        """EMA weights for eval when available (utils.py:1896-1900)."""
+        return self.state.ema_params
+
+    def evaluate_one_epoch(self, dataset, save_artifacts: bool = True) -> Dict:
+        for m in self.metrics:
+            m.clear()
+        params = self.eval_params()
+        out_dir = os.path.join(self.workspace, "validation")
+        os.makedirs(out_dir, exist_ok=True)
+        for idx in range(len(dataset)):
+            frame = dataset.frame(idx)
+            out = renderer.render_staged(
+                self.model, params, jax.numpy.asarray(frame["rays_o"]),
+                jax.numpy.asarray(frame["rays_d"]),
+                cam_near_far=_maybe_device(frame.get("cam_near_far")),
+            )
+            H, W = frame["H"], frame["W"]
+            pred = np.asarray(out["image"]).reshape(H, W, 3)
+            gt = np.asarray(frame["images"]).reshape(H, W, -1)[..., :3]
+            for m in self.metrics:
+                m.update(pred, gt)
+            if save_artifacts and idx < 4:
+                _save_image(os.path.join(out_dir, f"ep{self.epoch:04d}_{idx:03d}.png"), pred)
+                depth = np.asarray(out["depth"]).reshape(H, W)
+                np.save(os.path.join(out_dir, f"ep{self.epoch:04d}_{idx:03d}_depth.npy"), depth)
+        results = {type(m).__name__: m.measure() for m in self.metrics}
+        self.stats["results"].append(results)
+        primary = self.metrics[0].measure()
+        if self.stats["best_result"] is None or primary > self.stats["best_result"]:
+            self.stats["best_result"] = primary
+            self.ckpt_mgr.save(
+                self.global_step, self.eval_params(), stats=self.stats, best=True,
+                full=False,
+            )
+        self.log(f"[eval epoch {self.epoch}] " + " | ".join(m.report() for m in self.metrics))
+        return results
+
+    def test(self, dataset, out_dir: Optional[str] = None, write_video: bool = False):
+        """Offline test renders: rgb png + depth npy per frame + pose_dir
+        manifest (utils.py:1515-1585)."""
+        out_dir = out_dir or os.path.join(self.workspace, "results")
+        os.makedirs(out_dir, exist_ok=True)
+        params = self.eval_params()
+        pose_dir = {}
+        frames_rgb = []
+        for idx in range(len(dataset)):
+            frame = dataset.frame(idx)
+            out = renderer.render_staged(
+                self.model, params, jax.numpy.asarray(frame["rays_o"]),
+                jax.numpy.asarray(frame["rays_d"]),
+                cam_near_far=_maybe_device(frame.get("cam_near_far")),
+            )
+            H, W = frame["H"], frame["W"]
+            name = frame.get("name", f"{idx:04d}")
+            pred = np.asarray(out["image"]).reshape(H, W, 3)
+            depth = np.asarray(out["depth"]).reshape(H, W)
+            _save_image(os.path.join(out_dir, f"{name}_rgb.png"), pred)
+            np.save(os.path.join(out_dir, f"{name}_depth.npy"), depth)
+            if "pose" in frame:
+                pose_dir[name] = np.asarray(frame["pose"]).tolist()
+            frames_rgb.append((pred * 255).astype(np.uint8))
+        with open(os.path.join(out_dir, "pose_dir.json"), "w") as f:
+            json.dump(pose_dir, f)
+        if write_video and frames_rgb:
+            import imageio
+
+            imageio.mimwrite(
+                os.path.join(out_dir, "rgb.mp4"), frames_rgb, fps=24,
+                quality=8, macro_block_size=1,
+            )
+        self.log(f"[test] wrote {len(frames_rgb)} frames to {out_dir}")
+
+    def render_pose(self, pose: np.ndarray, intrinsics: np.ndarray, H: int, W: int,
+                    **kwargs) -> Dict[str, np.ndarray]:
+        """Single-frame render from an explicit camera (GUI path,
+        utils.py:1647-1712 minus the interaction state)."""
+        ro, rd = full_frame_rays(
+            jax.numpy.asarray(pose), jax.numpy.asarray(intrinsics), H, W
+        )
+        out = renderer.render_staged(self.model, self.eval_params(), ro, rd, **kwargs)
+        return {k: np.asarray(v) for k, v in out.items()}
+
+    # -- checkpoints --------------------------------------------------------
+
+    def save_checkpoint(self, full: bool = True):
+        path = self.ckpt_mgr.save(
+            self.global_step, self.state.params, self.state.ema_params,
+            self.state.opt_state if full else None,
+            stats={**self.stats, "epoch": self.epoch}, full=full,
+        )
+        self.log(f"[ckpt] saved {path}")
+
+    def load_checkpoint(self, mode: str = "latest", model_only: bool = False):
+        restored = self.ckpt_mgr.load(
+            mode, self.state.params, self.state.opt_state, model_only=model_only
+        )
+        if restored is None:
+            if mode not in ("latest", "latest_model", "best"):
+                self.log(f"[ckpt] {mode} not found; starting fresh")
+            return False
+        params, ema, opt_state, meta = restored
+        self.state = state_lib.TrainState(
+            params=params,
+            ema_params=ema,
+            opt_state=opt_state if opt_state is not None else self.state.opt_state,
+            step=jax.numpy.asarray(meta.get("step", 0), jax.numpy.int32),
+        )
+        self.global_step = int(meta.get("step", 0))
+        self.epoch = int(meta.get("stats", {}).get("epoch", 0))
+        if meta.get("stats"):
+            self.stats.update(meta["stats"])
+        self.log(f"[ckpt] restored step {self.global_step} (mode={mode})")
+        return True
+
+
+def _device_batch(batch: Dict) -> Dict:
+    out = {}
+    for k, v in batch.items():
+        if isinstance(v, np.ndarray):
+            out[k] = jax.numpy.asarray(v)
+        elif isinstance(v, (int, float)):
+            continue  # static metadata (H, W, index) stays host-side
+        else:
+            out[k] = v
+    return out
+
+
+def _maybe_device(x):
+    return None if x is None else jax.numpy.asarray(x)
+
+
+def _save_image(path: str, img: np.ndarray):
+    import PIL.Image as Image
+
+    Image.fromarray((np.clip(img, 0, 1) * 255).astype(np.uint8)).save(path)

@@ -1,0 +1,150 @@
+"""Ray-generation, synthetic-data, camera, and metric tests."""
+
+import jax.numpy as jnp
+import numpy as np
+
+from sanerf_tpu.data.rays import full_frame_rays, get_incoherent_mask, sample_rays
+from sanerf_tpu.data.synthetic import SyntheticSphereDataset, ray_sphere_shade
+from sanerf_tpu.train.metrics import MeanIoUMeter, PSNRMeter, SSIMMeter, ssim
+from sanerf_tpu.utils import camera
+
+
+def _pose_at(z=-3.0):
+    pose = np.eye(4, dtype=np.float32)
+    pose[2, 3] = z
+    return pose
+
+
+INTR = np.array([60.0, 60.0, 32.0, 32.0], np.float32)
+
+
+def test_sample_rays_uniform(rng):
+    rb = sample_rays(_pose_at(), INTR, 64, 64, N=256, rng=rng)
+    assert rb.rays_o.shape == (256, 3) and rb.rays_d.shape == (256, 3)
+    np.testing.assert_allclose(rb.rays_o, np.broadcast_to([0, 0, -3], (256, 3)))
+    assert rb.inds.max() < 64 * 64
+    assert rb.inds_coarse is not None and rb.inds_coarse.max() < 128 * 128
+
+
+def test_sample_rays_full_frame_matches_jax():
+    rb = sample_rays(_pose_at(), INTR, 32, 48, N=-1)
+    ro, rd = full_frame_rays(jnp.asarray(_pose_at()), jnp.asarray(INTR), 32, 48)
+    np.testing.assert_allclose(np.asarray(ro), rb.rays_o, rtol=1e-5)
+    np.testing.assert_allclose(np.asarray(rd), rb.rays_d, rtol=1e-5, atol=1e-6)
+
+
+def test_sample_rays_convention():
+    """Center pixel looks along -z (OpenGL); +x pixel has +x direction."""
+    coords = np.array([[32, 32], [32, 56]])  # (row, col)
+    rb = sample_rays(_pose_at(), INTR, 64, 64, coords=coords)
+    center = rb.rays_d[0]
+    np.testing.assert_allclose(center[:2], [0.5 / 60, -0.5 / 60], atol=1e-6)
+    assert center[2] == -1.0
+    assert rb.rays_d[1][0] > 0.3  # to the right
+
+
+def test_sample_rays_patch(rng):
+    rb = sample_rays(_pose_at(), INTR, 64, 64, N=64, patch_size=8, rng=rng)
+    assert rb.rays_o.shape[0] == 64
+    rows, cols = rb.i // 1, rb.j
+    # one 8x8 patch: contiguous block
+    assert rb.j.max() - rb.j.min() == 7
+    assert rb.i.max() - rb.i.min() == 7
+
+
+def test_sample_rays_importance(rng):
+    imp = np.zeros(128 * 128)
+    imp[0] = 1.0  # all mass at coarse cell (0,0)
+    rb = sample_rays(_pose_at(), INTR, 64, 64, N=1, importance_map=imp, rng=rng)
+    assert rb.i[0] < 2 and rb.j[0] < 2  # sampled inside the first coarse cell
+
+
+def test_synthetic_sphere_images():
+    ds = SyntheticSphereDataset(H=32, W=32, n_views=4)
+    assert ds.images.shape == (4, 32, 32, 3)
+    # sphere visible: some non-background pixels
+    assert (ds.images < 0.95).any(axis=(1, 2, 3)).all()
+    # background is white
+    assert np.isclose(ds.images.max(), 1.0)
+    # depth positive where sphere hit
+    assert (ds.depths > 0).any()
+
+
+def test_ray_sphere_shade_geometry():
+    o = np.array([[0, 0, -3.0]], np.float32)
+    d = np.array([[0, 0, 1.0]], np.float32)
+    rgb, depth = ray_sphere_shade(o, d, radius=0.5)
+    np.testing.assert_allclose(depth[0], 2.5, atol=1e-5)
+    o2 = np.array([[2.0, 0, -3.0]], np.float32)
+    rgb2, depth2 = ray_sphere_shade(o2, d, radius=0.5)
+    assert depth2[0] == 0.0 and np.all(rgb2 == 1.0)  # miss -> background
+
+
+def test_incoherent_mask_marks_boundaries():
+    m = np.zeros((64, 64), np.float32)
+    m[:, 32:] = 1.0
+    out = get_incoherent_mask(m, sfact=2)
+    assert out.shape == (64, 64)
+    assert out[:, 30:34].mean() > 0.5  # boundary marked
+    assert out[:, :16].mean() < 0.1  # interior clean
+
+
+def test_camera_roundtrips():
+    poses = camera.circle_poses(radius=2.0, n=8)
+    assert poses.shape == (8, 4, 4)
+    # orthonormal rotations looking at origin
+    for p in poses:
+        R = p[:3, :3]
+        np.testing.assert_allclose(R @ R.T, np.eye(3), atol=1e-5)
+        fwd = -R[:, 2]
+        to_origin = -p[:3, 3] / np.linalg.norm(p[:3, 3])
+        np.testing.assert_allclose(fwd, to_origin, atol=1e-5)
+    # quat roundtrip
+    for p in poses:
+        q = camera.rotmat_to_quat(p[:3, :3])
+        np.testing.assert_allclose(camera.quat_to_rotmat(q), p[:3, :3], atol=1e-5)
+    # interp trajectory stays orthonormal
+    traj = camera.interp_poses(poses[:3], n_per_segment=5)
+    for p in traj:
+        np.testing.assert_allclose(p[:3, :3] @ p[:3, :3].T, np.eye(3), atol=1e-4)
+
+
+def test_center_and_scale_poses():
+    poses = camera.circle_poses(radius=5.0, n=6)
+    poses[:, :3, 3] += np.array([10.0, 0, 0])
+    centered, _ = camera.center_poses(poses, enable_cam_center=True)
+    np.testing.assert_allclose(centered[:, :3, 3].mean(0), 0, atol=1e-5)
+    scaled, _, s = camera.auto_scale_poses(centered)
+    assert np.abs(scaled[:, :3, 3]).max() <= 1.0 + 1e-6
+
+
+def test_psnr_meter():
+    m = PSNRMeter()
+    a = np.random.default_rng(0).uniform(0, 1, (16, 16, 3))
+    m.update(a, a)
+    assert m.measure() > 100
+    m.clear()
+    m.update(a, 1 - a)
+    assert m.measure() < 20
+
+
+def test_ssim_basic():
+    rng = np.random.default_rng(0)
+    a = rng.uniform(0, 1, (32, 32, 3))
+    assert ssim(a, a) > 0.999
+    assert ssim(a, rng.uniform(0, 1, (32, 32, 3))) < 0.5
+    m = SSIMMeter()
+    m.update(a, a)
+    assert m.measure() > 0.999
+
+
+def test_miou_meter():
+    m = MeanIoUMeter()
+    gt = np.array([0, 0, 1, 1, -1])
+    pred = np.array([0, 1, 1, 1, 0])
+    m.update(pred, gt)
+    # class 0: inter 1, union 2 -> 0.5 ; class 1: inter 2, union 3 -> 2/3
+    np.testing.assert_allclose(m.measure(), (0.5 + 2 / 3) / 2, rtol=1e-6)
+    m2 = MeanIoUMeter()
+    m2.update(gt, gt)
+    assert m2.measure() == 1.0
