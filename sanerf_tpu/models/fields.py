@@ -33,6 +33,7 @@ import jax.numpy as jnp
 from sanerf_tpu.config import HashGridConfig, ModelConfig, RenderConfig
 from sanerf_tpu.ops import hashgrid
 from sanerf_tpu.ops.activation import trunc_exp
+from sanerf_tpu.ops.freq import freq_encode, freq_output_dim
 from sanerf_tpu.ops.sh import sh_encode, sh_output_dim
 
 Params = Dict[str, Any]
@@ -54,10 +55,21 @@ def init_linear(key, d_in: int, d_out: int, bias: bool) -> Params:
 
 
 def apply_linear(p: Params, x: jax.Array) -> jax.Array:
-    y = jnp.dot(x, p["w"], preferred_element_type=jnp.float32)
+    """Matmul in the weight dtype (bf16 inference casts activations down so
+    the MXU runs true bf16) with fp32 accumulation."""
+    y = jnp.dot(x.astype(p["w"].dtype), p["w"], preferred_element_type=jnp.float32)
     if "b" in p:
         y = y + p["b"]
     return y
+
+
+def cast_params(params: Params, dtype=jnp.bfloat16) -> Params:
+    """Cast float params for bf16 inference (fp32 accumulation is preserved
+    by apply_linear). Use on frozen/inference param trees only."""
+    return jax.tree.map(
+        lambda x: x.astype(dtype) if jnp.issubdtype(x.dtype, jnp.floating) else x,
+        params,
+    )
 
 
 def init_mlp(key, d_in: int, d_out: int, d_hidden: int, n_layers: int, bias: bool) -> List[Params]:
@@ -142,14 +154,45 @@ class NerfModel:
 
     cfg: ModelConfig
     render_cfg: RenderConfig
-    grid_spec: hashgrid.HashGridSpec
+    grid_spec: Optional[hashgrid.HashGridSpec]
     prop_specs: Tuple[hashgrid.HashGridSpec, ...]
     s_grid_spec: Optional[hashgrid.HashGridSpec]
     m_grid_spec: Optional[hashgrid.HashGridSpec]
 
     @property
+    def is_mlp_field(self) -> bool:
+        return self.cfg.field_type == "mlp"
+
+    @property
     def bound(self) -> float:
         return self.render_cfg.grid_bound
+
+    @property
+    def grid_out_dim(self) -> int:
+        """Dim of the positional feature feeding grid_mlp (hash-grid output
+        or Fourier features)."""
+        if self.is_mlp_field:
+            return freq_output_dim(3, self.cfg.mlp_enc_freqs)
+        return self.grid_spec.output_dim
+
+    @property
+    def prop_in_dim(self) -> int:
+        if self.is_mlp_field:
+            return freq_output_dim(3, self.cfg.mlp_prop_enc_freqs)
+        return self.prop_specs[0].output_dim
+
+    @property
+    def s_feat_dim(self) -> int:
+        """Dim of the per-point SAM field feature (s_grid output, 128)."""
+        if self.is_mlp_field:
+            return self.cfg.mlp_sam_feat_dim
+        return self.s_grid_spec.output_dim
+
+    @property
+    def m_feat_dim(self) -> int:
+        if self.is_mlp_field:
+            return self.cfg.mlp_mask_feat_dim
+        return self.m_grid_spec.output_dim
 
     @property
     def view_in_dim(self) -> int:
@@ -163,7 +206,7 @@ class NerfModel:
     @property
     def samvit_in_dim(self) -> int:
         c = self.cfg
-        s_dim = self.s_grid_spec.output_dim
+        s_dim = self.s_feat_dim
         if c.sum_after_mlp:
             # renderer.py:366-369: [features, f_colors|geo_feat, f_colors]
             per = 3 if c.sam_use_view_direction else c.geom_feat_dim
@@ -177,6 +220,15 @@ class NerfModel:
 
 
 def make_model(cfg: ModelConfig, render_cfg: RenderConfig) -> NerfModel:
+    if cfg.field_type == "mlp":
+        grid_spec = None
+        prop_specs = tuple(None for _ in cfg.prop_resolutions)
+        s_grid_spec = None
+        m_grid_spec = None
+        return NerfModel(
+            cfg=cfg, render_cfg=render_cfg, grid_spec=None, prop_specs=(),
+            s_grid_spec=None, m_grid_spec=None,
+        )
     grid_spec = hashgrid.build_spec(
         HashGridConfig(
             input_dim=3,
@@ -237,29 +289,67 @@ def make_model(cfg: ModelConfig, render_cfg: RenderConfig) -> NerfModel:
 def init_params(model: NerfModel, key: jax.Array) -> Params:
     c = model.cfg
     keys = iter(jax.random.split(key, 16))
-    params: Params = {
-        "grid": hashgrid.init_params(next(keys), model.grid_spec),
-        "grid_mlp": init_mlp(
-            next(keys), model.grid_spec.output_dim, 1 + c.geom_feat_dim,
-            c.grid_mlp_hidden, c.grid_mlp_layers, bias=False,
-        ),
-        "view_mlp": init_mlp(
-            next(keys), model.color_dim, 3, c.view_mlp_hidden, c.view_mlp_layers,
-            bias=False,
-        ),
-        "prop": [
-            {
-                "grid": hashgrid.init_params(next(keys), spec),
-                "mlp": init_mlp(
-                    next(keys), spec.output_dim, 1, c.prop_mlp_hidden,
-                    c.prop_mlp_layers, bias=False,
-                ),
-            }
-            for spec in model.prop_specs
-        ],
-    }
+    if model.is_mlp_field:
+        # TPU flagship: Fourier features + MLPs (no tables, no gathers).
+        # Same param-tree names as the hash-grid family so checkpointing,
+        # freezing and the renderer are field-agnostic.
+        params: Params = {
+            "grid_mlp": init_skip_mlp(
+                next(keys), model.grid_out_dim, 1 + c.geom_feat_dim,
+                c.mlp_field_width, c.mlp_field_depth,
+                skip_layers=(c.mlp_field_depth // 2,), bias=False,
+            ),
+            "view_mlp": init_mlp(
+                next(keys), model.color_dim, 3, c.view_mlp_hidden,
+                c.view_mlp_layers, bias=False,
+            ),
+            "prop": [
+                {
+                    "mlp": init_mlp(
+                        next(keys), model.prop_in_dim, 1, c.mlp_prop_width,
+                        c.mlp_prop_depth, bias=False,
+                    ),
+                }
+                for _ in range(len(c.prop_resolutions))
+            ],
+        }
+        if c.with_sam:
+            params["s_field_mlp"] = init_mlp(
+                next(keys), model.grid_out_dim, model.s_feat_dim,
+                c.mlp_sam_width, c.mlp_sam_depth, bias=False,
+            )
+        if c.with_mask and c.mask_mlp_type in ("default", "lightweight_mask"):
+            params["m_field_mlp"] = init_mlp(
+                next(keys), model.grid_out_dim, model.m_feat_dim,
+                c.mlp_mask_width, c.mlp_mask_depth, bias=False,
+            )
+    else:
+        params = {
+            "grid": hashgrid.init_params(next(keys), model.grid_spec),
+            "grid_mlp": init_mlp(
+                next(keys), model.grid_spec.output_dim, 1 + c.geom_feat_dim,
+                c.grid_mlp_hidden, c.grid_mlp_layers, bias=False,
+            ),
+            "view_mlp": init_mlp(
+                next(keys), model.color_dim, 3, c.view_mlp_hidden, c.view_mlp_layers,
+                bias=False,
+            ),
+            "prop": [
+                {
+                    "grid": hashgrid.init_params(next(keys), spec),
+                    "mlp": init_mlp(
+                        next(keys), spec.output_dim, 1, c.prop_mlp_hidden,
+                        c.prop_mlp_layers, bias=False,
+                    ),
+                }
+                for spec in model.prop_specs
+            ],
+        }
+        if c.with_sam:
+            params["s_grid"] = hashgrid.init_params(next(keys), model.s_grid_spec)
+        if c.with_mask and model.m_grid_spec is not None:
+            params["m_grid"] = hashgrid.init_params(next(keys), model.m_grid_spec)
     if c.with_sam:
-        params["s_grid"] = hashgrid.init_params(next(keys), model.s_grid_spec)
         params["samvit_mlp"] = init_skip_mlp(
             next(keys), model.samvit_in_dim, c.sam_feat_dim, c.samvit_mlp_hidden,
             c.samvit_mlp_layers, c.samvit_skip_layers, bias=True,
@@ -278,9 +368,8 @@ def _init_mask_head(model: NerfModel, key: jax.Array) -> Params:
     keys = iter(jax.random.split(key, 12))
     if c.mask_mlp_type == "default":
         return {
-            "m_grid": hashgrid.init_params(next(keys), model.m_grid_spec),
             "mask_mlp": init_skip_mlp(
-                next(keys), model.m_grid_spec.output_dim + c.geom_feat_dim, out,
+                next(keys), model.m_feat_dim + c.geom_feat_dim, out,
                 256, 3, (), bias=False,
             ),
         }
@@ -288,16 +377,16 @@ def _init_mask_head(model: NerfModel, key: jax.Array) -> Params:
         # reference declares MLP(geom+view+4 -> out) but feeds
         # [m_grid(32), colors(31)] (network.py:142 vs renderer.py:396-398);
         # we size by the actual input
-        d_in = model.m_grid_spec.output_dim + model.color_dim
+        d_in = model.m_feat_dim + model.color_dim
         return {
-            "m_grid": hashgrid.init_params(next(keys), model.m_grid_spec),
             "mask_mlp": init_mlp(next(keys), d_in, out, 64, 3, bias=False),
         }
     # adaptive: a ladder of bias-free linears over intermediate activations of
     # the frozen backbone MLPs; NO activations between them
     # (network.py:143-203, renderer.py:399-451)
     H = 96
-    gmh, gin = c.grid_mlp_hidden, model.grid_spec.output_dim
+    gmh = c.mlp_field_width if model.is_mlp_field else c.grid_mlp_hidden
+    gin = model.grid_out_dim
     geo = 1 + c.geom_feat_dim
     vmh = c.view_mlp_hidden
     smh = c.samvit_mlp_hidden
@@ -330,10 +419,19 @@ def _init_mask_head(model: NerfModel, key: jax.Array) -> Params:
 def common_forward(
     model: NerfModel, params: Params, x: jax.Array, save_intermediates: bool = False
 ):
-    """grid encode -> grid_mlp -> (sigma, geo_feat, grid_output)
+    """encode -> grid_mlp -> (sigma, geo_feat, grid_output)
     (network.py:221-229)."""
-    grid_output = hashgrid.hash_encode(x, params["grid"], model.grid_spec, model.bound)
-    f, inter = apply_mlp(params["grid_mlp"], grid_output, save_intermediates)
+    if model.is_mlp_field:
+        grid_output = freq_encode(x * (jnp.pi / model.bound), model.cfg.mlp_enc_freqs)
+        f, inter = apply_skip_mlp(
+            params["grid_mlp"], grid_output,
+            (model.cfg.mlp_field_depth // 2,), save_intermediates,
+        )
+    else:
+        grid_output = hashgrid.hash_encode(
+            x, params["grid"], model.grid_spec, model.bound
+        )
+        f, inter = apply_mlp(params["grid_mlp"], grid_output, save_intermediates)
     sigma = trunc_exp(f[..., 0])
     geo_feat = f[..., 1:]
     return sigma, geo_feat, grid_output, inter
@@ -366,10 +464,15 @@ def forward(
 
 def density(model: NerfModel, params: Params, x: jax.Array, proposal: int = -1) -> jax.Array:
     """Density-only query; routes to proposal nets (network.py:248-259)."""
-    if 0 <= proposal < len(model.prop_specs):
-        spec = model.prop_specs[proposal]
+    n_props = len(model.cfg.prop_resolutions)
+    if 0 <= proposal < n_props:
         p = params["prop"][proposal]
-        h = hashgrid.hash_encode(x, p["grid"], spec, model.bound)
+        if model.is_mlp_field:
+            h = freq_encode(x * (jnp.pi / model.bound), model.cfg.mlp_prop_enc_freqs)
+        else:
+            h = hashgrid.hash_encode(
+                x, p["grid"], model.prop_specs[proposal], model.bound
+            )
         f, _ = apply_mlp(p["mlp"], h)
         return trunc_exp(f[..., 0])
     sigma, _, _, _ = common_forward(model, params, x)
@@ -377,11 +480,20 @@ def density(model: NerfModel, params: Params, x: jax.Array, proposal: int = -1) 
 
 
 def sam_features(model: NerfModel, params: Params, x: jax.Array) -> jax.Array:
-    """s_grid lookup at sample points (renderer.py:302-303)."""
+    """Per-point SAM field feature (s_grid lookup, renderer.py:302-303; MLP
+    field in the flagship family)."""
+    if model.is_mlp_field:
+        h = freq_encode(x * (jnp.pi / model.bound), model.cfg.mlp_enc_freqs)
+        out, _ = apply_mlp(params["s_field_mlp"], h)
+        return out
     return hashgrid.hash_encode(x, params["s_grid"], model.s_grid_spec, model.bound)
 
 
 def mask_grid_features(model: NerfModel, params: Params, x: jax.Array) -> jax.Array:
+    if model.is_mlp_field:
+        h = freq_encode(x * (jnp.pi / model.bound), model.cfg.mlp_enc_freqs)
+        out, _ = apply_mlp(params["m_field_mlp"], h)
+        return out
     return hashgrid.hash_encode(x, params["m_grid"], model.m_grid_spec, model.bound)
 
 
@@ -401,6 +513,8 @@ def apply_total_variation(
     """TV grad contribution for the active grid (network.py:261-267):
     s_grid when with_sam, m_grid when with_mask, else the RGB grid."""
     c = model.cfg
+    if model.is_mlp_field:
+        return {}  # no tables; smoothness comes from the band-limited encoding
     if c.with_sam:
         return {"s_grid": hashgrid.grad_total_variation(x01, params["s_grid"], model.s_grid_spec, weight)}
     if c.with_mask and model.m_grid_spec is not None:
@@ -411,6 +525,8 @@ def apply_total_variation(
 def apply_weight_decay(model: NerfModel, params: Params, weight: float) -> Params:
     """Level-meaned WD grad for the active grid (network.py:269-275)."""
     c = model.cfg
+    if model.is_mlp_field:
+        return {}
     if c.with_sam:
         return {"s_grid": hashgrid.grad_weight_decay(params["s_grid"], model.s_grid_spec, weight)}
     if c.with_mask and model.m_grid_spec is not None:

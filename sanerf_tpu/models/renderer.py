@@ -244,7 +244,7 @@ def _mask_head(
         m = lin(mm[0], sg(outputs["grid_output"]))
         m = lin(mm[1], cat(gi[0], m))
         m = lin(mm[2], cat(gi[1], m))
-        m = lin(mm[3], cat(gi[2], m))
+        m = lin(mm[3], cat(gi[-1], m))
         m = lin(mm[4], cat(view_inter[0], m))
         m = lin(mm[5], cat(view_inter[1], m))
         m = lin(mm[6], m)
@@ -253,13 +253,13 @@ def _mask_head(
         m = lin(mm[0], sg(outputs["grid_output"]))
         m = lin(mm[1], cat(gi[0], m))
         m = lin(mm[2], cat(gi[1], m))
-        m = lin(mm[3], cat(gi[2], m))
+        m = lin(mm[3], cat(gi[-1], m))
         m = lin(mm[4], m)
         return lin(mm[5], m)
     if mc.adaptive_mlp_type == "sam":
         m = lin(mm[0], gi[0])
         m = lin(mm[1], cat(gi[1], m))
-        m = lin(mm[2], cat(gi[2], m))
+        m = lin(mm[2], cat(gi[-1], m))
         m = lin(mm[3], cat(sam_inter[0], m))
         m = lin(mm[4], cat(sam_inter[1], m))
         m = lin(mm[5], cat(sam_inter[2], m))

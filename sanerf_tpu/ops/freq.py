@@ -16,21 +16,38 @@ import functools
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 
 @functools.partial(jax.jit, static_argnames=("degree",))
 def freq_encode(x: jax.Array, degree: int = 4) -> jax.Array:
-    """[..., D] -> [..., D * (1 + 2*degree)]."""
+    """[..., D] -> [..., D * (1 + 2*degree)].
+
+    TPU formulation: one [., D] @ [D, F] matmul + a masked sin, instead of
+    2*degree+1 concatenated [., D] slices — narrow trailing dims tile-pad
+    42x on TPU, and the profiled concat alone cost ~10% of a frame. Layout
+    matches the reference torch fallback (encoding.py:36-41):
+    [x, sin(2^0 x), cos(2^0 x), ..., sin(2^{deg-1} x), cos(2^{deg-1} x)],
+    using cos(z) = sin(z + pi/2).
+    """
     x = x.astype(jnp.float32)
-    out = [x]
+    D = x.shape[-1]
+    F = D * (1 + 2 * degree)
+    # projection: column block d of the output reads x_d scaled
+    proj = np.zeros((D, F), np.float32)
+    phase = np.zeros((F,), np.float32)
+    is_linear = np.zeros((F,), bool)
+    proj[:, :D] = np.eye(D)
+    is_linear[:D] = True
+    col = D
     for f in range(degree):
-        xf = x * (2.0**f)
-        out.append(jnp.sin(xf))
-        out.append(jnp.cos(xf))
-    # interleave to per-dim blocks [x_d, sin.., cos..] matching encoding.py:36-41
-    # encoding.py appends sin(freq*x) then cos(freq*x) over whole x per freq,
-    # i.e. layout is [x(all dims), sin_f0(all dims), cos_f0(all dims), ...]
-    return jnp.concatenate(out, axis=-1)
+        proj[:, col : col + D] = (2.0**f) * np.eye(D)  # sin block
+        col += D
+        proj[:, col : col + D] = (2.0**f) * np.eye(D)  # cos block
+        phase[col : col + D] = np.pi / 2
+        col += D
+    z = jnp.dot(x, jnp.asarray(proj), preferred_element_type=jnp.float32)
+    return jnp.where(jnp.asarray(is_linear), z, jnp.sin(z + jnp.asarray(phase)))
 
 
 def freq_output_dim(input_dim: int, degree: int) -> int:

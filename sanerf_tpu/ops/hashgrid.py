@@ -197,8 +197,10 @@ def hash_encode_01(
     x = x.astype(jnp.float32)
     oob = jnp.any((x < 0.0) | (x > 1.0), axis=-1)  # [B]
 
-    all_idx = []  # per level: [B, 2^D] global rows
-    all_w = []  # per level: [B, 2^D] interp weights
+    # per-level gather + immediate corner reduction: peak memory is one
+    # level's [B, 2^D] index/weight set (the earlier all-level stacked gather
+    # materialized [B, L*2^D, C] and OOM'd at production chunk sizes)
+    level_feats = []  # per level: [B, C]
     for level in range(n_active):
         res = spec.resolutions[level]
         if spec.align_corners:
@@ -212,8 +214,7 @@ def hash_encode_01(
             frac = frac * frac * (3.0 - 2.0 * frac)  # gridencoder.cu:34-37
         pos_grid = pos_grid.astype(jnp.int32)
 
-        idx_corners = []
-        w_corners = []
+        acc = jnp.zeros((B, C), jnp.float32)
         for corner in _corner_offsets(D):
             w = jnp.ones((B,), jnp.float32)
             pg = []
@@ -225,18 +226,10 @@ def hash_encode_01(
                     w = w * frac[:, d]
                     pg.append(jnp.minimum(pos_grid[:, d] + 1, res - 1))
             idx = _grid_index(spec, level, tuple(pg)) + spec.offsets[level]
-            idx_corners.append(idx)
-            w_corners.append(w)
-        all_idx.append(jnp.stack(idx_corners, axis=-1))  # [B, 2^D]
-        all_w.append(jnp.stack(w_corners, axis=-1))
+            acc = acc + w[:, None] * jnp.take(table, idx, axis=0)
+        level_feats.append(acc)
 
-    idx = jnp.stack(all_idx, axis=1)  # [B, n_active, 2^D]
-    w = jnp.stack(all_w, axis=1)  # [B, n_active, 2^D]
-
-    # one big gather — the TPU-friendly formulation
-    gathered = jnp.take(table, idx.reshape(-1), axis=0)  # [B*nL*2^D, C]
-    gathered = gathered.reshape(B, n_active, 1 << D, C)
-    out = jnp.sum(w[..., None] * gathered, axis=2)  # [B, n_active, C]
+    out = jnp.stack(level_feats, axis=1)  # [B, n_active, C]
     out = jnp.where(oob[:, None, None], 0.0, out)
 
     if n_active < L:

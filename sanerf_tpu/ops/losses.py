@@ -16,7 +16,7 @@ from typing import Sequence
 import jax
 import jax.numpy as jnp
 
-from sanerf_tpu.ops.sampling import searchsorted_right
+from sanerf_tpu.ops.sampling import searchsorted_right, take_by_index_dense
 
 
 def distort_loss(bins: jax.Array, weights: jax.Array) -> jax.Array:
@@ -55,8 +55,9 @@ def _loss_interlevel(
     inds_lo = jnp.clip(searchsorted_right(t1[..., :-1], t0[..., :-1]) - 1, 0, T1 - 1)
     inds_hi = jnp.clip(searchsorted_right(t1[..., 1:], t0[..., 1:]), 0, T1 - 1)
 
-    cw1_lo = jnp.take_along_axis(cw1[..., :-1], inds_lo, axis=-1)
-    cw1_hi = jnp.take_along_axis(cw1[..., 1:], inds_hi, axis=-1)
+    # gather-free selection (take_by_index_dense docstring explains why)
+    cw1_lo = take_by_index_dense(cw1[..., :-1], inds_lo)
+    cw1_hi = take_by_index_dense(cw1[..., 1:], inds_hi)
     w = cw1_hi - cw1_lo
     return jnp.maximum(w0 - w, 0.0) ** 2 / (w0 + 1e-8)
 

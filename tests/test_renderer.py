@@ -13,9 +13,16 @@ from sanerf_tpu.models import fields, renderer
 
 TINY_RENDER = RenderConfig(num_steps=(16, 8), bound=4.0, contract=True, max_ray_batch=32)
 TINY_MODEL = ModelConfig(
+    field_type="hashgrid",
     grid_num_levels=4, grid_log2_hashmap=10, grid_desired_resolution=64,
     prop_num_levels=3, prop_log2_hashmap=8, prop_resolutions=(32,),
     s_grid_num_levels=4, s_grid_log2_hashmap=10, s_grid_desired_resolution=64,
+)
+TINY_MLP_MODEL = ModelConfig(
+    field_type="mlp", prop_resolutions=(32,),
+    mlp_enc_freqs=4, mlp_field_width=32, mlp_field_depth=4,
+    mlp_prop_enc_freqs=3, mlp_prop_width=16, mlp_prop_depth=2,
+    mlp_sam_width=32, mlp_sam_depth=2, mlp_mask_width=32, mlp_mask_depth=2,
 )
 
 
@@ -33,8 +40,10 @@ def _build(mc=TINY_MODEL, rc=TINY_RENDER, seed=0):
     return model, params
 
 
-def test_rgb_shapes_and_finiteness(rng):
-    model, params = _build()
+@pytest.mark.parametrize("mc", [TINY_MODEL, TINY_MLP_MODEL],
+                         ids=["hashgrid", "mlp"])
+def test_rgb_shapes_and_finiteness(mc, rng):
+    model, params = _build(mc)
     ro, rd = _rays(17, rng)
     out = renderer.render_rays(model, params, ro, rd, jax.random.key(1),
                             training=True, perturb=True)
@@ -114,10 +123,11 @@ def test_update_proposal_false_freezes_props(rng):
         assert float(jnp.sum(jnp.abs(prop["grid"]))) == 0.0
 
 
+@pytest.mark.parametrize("base", [TINY_MODEL, TINY_MLP_MODEL], ids=["hashgrid", "mlp"])
 @pytest.mark.parametrize("use_view_dir,sum_after", [(True, False), (False, False),
                                                     (True, True), (False, True)])
-def test_sam_head_variants(use_view_dir, sum_after, rng):
-    mc = dataclasses.replace(TINY_MODEL, with_sam=True,
+def test_sam_head_variants(base, use_view_dir, sum_after, rng):
+    mc = dataclasses.replace(base, with_sam=True,
                              sam_use_view_direction=use_view_dir,
                              sum_after_mlp=sum_after)
     model, params = _build(mc)
@@ -127,6 +137,7 @@ def test_sam_head_variants(use_view_dir, sum_after, rng):
     assert np.all(np.isfinite(np.asarray(out["samvit"])))
 
 
+@pytest.mark.parametrize("base", [TINY_MODEL, TINY_MLP_MODEL], ids=["hashgrid", "mlp"])
 @pytest.mark.parametrize("mask_type,adaptive_type,sum_after", [
     ("default", "density", False),
     ("lightweight_mask", "density", False),
@@ -134,9 +145,9 @@ def test_sam_head_variants(use_view_dir, sum_after, rng):
     ("adaptive", "rgb", True),
     ("adaptive", "sam", True),
 ])
-def test_mask_head_variants(mask_type, adaptive_type, sum_after, rng):
+def test_mask_head_variants(base, mask_type, adaptive_type, sum_after, rng):
     mc = dataclasses.replace(
-        TINY_MODEL, with_mask=True, mask_mlp_type=mask_type,
+        base, with_mask=True, mask_mlp_type=mask_type,
         adaptive_mlp_type=adaptive_type, n_inst=3, sum_after_mlp=sum_after,
         with_sam=(adaptive_type == "sam"),
         sam_use_view_direction=(adaptive_type == "sam"),
@@ -176,3 +187,20 @@ def test_cam_near_far_clamps_depth(rng):
     # depth = sum w*t with t inside [2, 2.5]
     assert np.all(d >= 2.0 * ws - 1e-3)
     assert np.all(d <= 2.5 * ws + 1e-3)
+
+
+def test_mlp_field_gradients_flow(rng):
+    model, params = _build(TINY_MLP_MODEL)
+    ro, rd = _rays(8, rng)
+
+    def loss_fn(p):
+        out = renderer.render_rays(model, p, ro, rd, jax.random.key(0),
+                                   training=True, perturb=True)
+        return jnp.mean(out["image"] ** 2) + out["proposal_loss"] + out["distort_loss"]
+
+    grads = jax.grad(loss_fn)(params)
+    assert "grid" not in grads  # no tables in the mlp family
+    assert float(jnp.sum(jnp.abs(grads["grid_mlp"][0]["w"]))) > 0
+    assert float(jnp.sum(jnp.abs(grads["view_mlp"][0]["w"]))) > 0
+    for prop in grads["prop"]:
+        assert float(jnp.sum(jnp.abs(prop["mlp"][0]["w"]))) > 0

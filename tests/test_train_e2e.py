@@ -18,8 +18,14 @@ from sanerf_tpu.train.trainer import Trainer
 
 RC = RenderConfig(num_steps=(16, 8), bound=4.0, contract=True, max_ray_batch=2048)
 MC = ModelConfig(
+    field_type="hashgrid",
     grid_num_levels=8, grid_log2_hashmap=13, grid_desired_resolution=128,
     prop_num_levels=4, prop_log2_hashmap=10, prop_resolutions=(64,),
+)
+MC_MLP = ModelConfig(
+    field_type="mlp", prop_resolutions=(64,),
+    mlp_enc_freqs=6, mlp_field_width=64, mlp_field_depth=4,
+    mlp_prop_enc_freqs=4, mlp_prop_width=32, mlp_prop_depth=2,
 )
 TC = TrainConfig(iters=300, lr=1e-2, num_rays=1024, adaptive_num_rays=False,
                  lambda_distort=0.01)
@@ -30,10 +36,11 @@ def sphere_ds():
     return SyntheticSphereDataset(H=48, W=48, n_views=12)
 
 
-def test_rgb_training_converges(sphere_ds):
+@pytest.mark.parametrize("mc", [MC, MC_MLP], ids=["hashgrid", "mlp"])
+def test_rgb_training_converges(mc, sphere_ds):
     """A tiny NeRF must learn the synthetic sphere: PSNR after 300 steps
     clearly above the initial render (SURVEY.md §4 convergence gate)."""
-    model = fields.make_model(MC, RC)
+    model = fields.make_model(mc, RC)
     params = fields.init_params(model, jax.random.key(0))
     state = state_lib.create_train_state(model, TC, jax.random.key(0), params=params)
     step_fn = state_lib.make_rgb_train_step(model, TC)
