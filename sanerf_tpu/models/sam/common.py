@@ -44,7 +44,7 @@ def init_linear(key, d_in, d_out, bias=True, std: Optional[float] = None) -> Par
 
 
 def linear(p: Params, x: jax.Array) -> jax.Array:
-    y = jnp.dot(x, p["w"], preferred_element_type=jnp.float32)
+    y = jnp.dot(x.astype(p["w"].dtype), p["w"], preferred_element_type=jnp.float32)
     if "b" in p:
         y = y + p["b"]
     return y
@@ -77,9 +77,10 @@ def init_conv(key, k: int, c_in: int, c_out: int, bias=True) -> Params:
 
 
 def conv2d(p: Params, x: jax.Array, stride: int = 1, padding="SAME") -> jax.Array:
-    """x: [B, H, W, C] channels-last (TPU-native layout)."""
+    """x: [B, H, W, C] channels-last (TPU-native layout). Computes in the
+    weight dtype (bf16 inference) with fp32 accumulation."""
     y = jax.lax.conv_general_dilated(
-        x, p["w"], window_strides=(stride, stride), padding=padding,
+        x.astype(p["w"].dtype), p["w"], window_strides=(stride, stride), padding=padding,
         dimension_numbers=("NHWC", "HWIO", "NHWC"),
         preferred_element_type=jnp.float32,
     )
@@ -88,13 +89,33 @@ def conv2d(p: Params, x: jax.Array, stride: int = 1, padding="SAME") -> jax.Arra
     return y
 
 
+def init_conv_transpose(key, k: int, c_in: int, c_out: int, bias=True) -> Params:
+    """Weight layout [c_in, k, k, c_out] (torch ConvTranspose2d is
+    [c_in, c_out, k, k]; converter permutes (0, 2, 3, 1))."""
+    fan_in = c_in  # torch convT fan_in = c_in * k*k / (k*k groups...) ~ c_in*k*k? use c_in*k*k
+    bound = 1.0 / np.sqrt(c_in * k * k)
+    w = jax.random.uniform(key, (c_in, k, k, c_out), jnp.float32, -bound, bound)
+    p = {"w": w}
+    if bias:
+        p["b"] = jnp.zeros((c_out,), jnp.float32)
+    return p
+
+
 def conv_transpose2d(p: Params, x: jax.Array, stride: int = 2) -> jax.Array:
-    """2x upscaling transpose conv, kernel k=stride (SAM's upscaler)."""
-    y = jax.lax.conv_transpose(
-        x, p["w"], strides=(stride, stride), padding="VALID",
-        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+    """2x upscaling transpose conv with kernel == stride (SAM's upscaler).
+
+    With k == s the transpose conv has no output overlap, so it is exactly a
+    per-pixel matmul + pixel shuffle: out[2i+di, 2j+dj, o] = sum_c x[i,j,c] *
+    W[c, di, dj, o]. One einsum on the MXU; also sidesteps the
+    torch-vs-lax transposed-conv kernel-flip convention entirely.
+    """
+    B, H, W, C = x.shape
+    k = p["w"].shape[1]
+    y = jnp.einsum(
+        "bhwc,cklo->bhkwlo", x.astype(p["w"].dtype), p["w"],
         preferred_element_type=jnp.float32,
     )
+    y = y.reshape(B, H * k, W * k, p["w"].shape[-1])
     if "b" in p:
         y = y + p["b"]
     return y
