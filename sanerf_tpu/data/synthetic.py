@@ -99,7 +99,45 @@ class SyntheticSphereDataset:
             "rays_o": rb.rays_o,
             "rays_d": rb.rays_d,
             "images": self.images[idx].reshape(-1, 3),
+            "masks": self.masks[idx].reshape(-1),
             "index": idx,
             "H": self.H,
             "W": self.W,
+            "pose": self.poses[idx],
+            "name": f"{idx:04d}",
+        }
+
+    @property
+    def masks(self) -> np.ndarray:
+        """Instance labels: 1 = sphere, 0 = background (all labeled)."""
+        return (self.depths > 0).astype(np.int64)
+
+    @property
+    def error_map(self):
+        return None
+
+    def collate_sam(self, rng: np.random.Generator) -> Dict:
+        """Stage-2-style batch on the synthetic scene (square camera at the
+        native resolution; low-res rays at the 64/1024 SAM scale)."""
+        i = int(rng.integers(0, self.n_views))
+        rb = sample_rays(self.poses[i], self.intrinsics, self.H, self.W, N=-1)
+        lr = max(4, int(self.H / 1024 * 64))
+        intr_lr = self.intrinsics * (lr / self.H)
+        intr_lr[2:] = lr / 2
+        rb_lr = sample_rays(self.poses[i], intr_lr, lr, lr, N=-1)
+        return {
+            "rays_o": rb.rays_o, "rays_d": rb.rays_d,
+            "rays_o_lr": rb_lr.rays_o, "rays_d_lr": rb_lr.rays_d,
+            "H": self.H, "W": self.W, "h": lr, "w": lr, "index": i,
+        }
+
+    def collate_mask(self, rng: np.random.Generator, num_rays: int) -> Dict:
+        i = int(rng.integers(0, self.n_views))
+        rb = sample_rays(self.poses[i], self.intrinsics, self.H, self.W,
+                         N=num_rays, rng=rng)
+        return {
+            "rays_o": rb.rays_o, "rays_d": rb.rays_d,
+            "masks": self.masks[i].reshape(-1)[rb.inds],
+            "inds": rb.inds, "inds_coarse": rb.inds_coarse,
+            "index": i, "H": self.H, "W": self.W,
         }

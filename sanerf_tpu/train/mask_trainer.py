@@ -1,0 +1,182 @@
+"""Stage-3: per-object instance mask-field training.
+
+Rebuild of the reference's `with_mask` branch (utils.py:941-1070):
+- render with the mask head -> instance logits; softmax cross-entropy on
+  labeled pixels of the global rays (gt == -1 ignored, utils.py:957-976);
+- incoherent-region down-weighting (utils.py:978-979);
+- error-map EMA refresh from cosine-similarity error (utils.py:981-1017),
+  applied host-side to the provider's importance map;
+- depth-weighted label regularization (utils.py:1028-1030);
+- rgb-similarity loss on the local mixed-sampling patches after
+  `rgb_similarity_iter` (utils.py:1033-1064).
+
+The backbone (and SAM field, if present) stays frozen via the stage
+handoff mask; only the mask head trains.
+"""
+
+from __future__ import annotations
+
+import functools
+import time
+from typing import Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from sanerf_tpu.config import Config
+from sanerf_tpu.models.fields import NerfModel, Params
+from sanerf_tpu.models.renderer import run_rays
+from sanerf_tpu.ops import label_regularization, rgb_similarity_loss
+from sanerf_tpu.train import state as state_lib
+from sanerf_tpu.train.state import TrainState
+from sanerf_tpu.train.trainer import Trainer, _device_batch
+from sanerf_tpu.train.metrics import MeanIoUMeter
+
+
+def make_mask_train_step(model: NerfModel, cfg: Config, trainable: Optional[Params]):
+    tx = state_lib.make_optimizer(cfg.train, trainable)
+    mc = cfg.mask
+    n_inst = model.cfg.n_inst
+
+    @functools.partial(
+        jax.jit, donate_argnums=(0,),
+        static_argnames=("num_global", "use_similarity"),
+    )
+    def step(state: TrainState, batch: Dict, key: jax.Array, num_global: int,
+             use_similarity: bool):
+        def loss_fn(params):
+            out = run_rays(
+                model, params, batch["rays_o"], batch["rays_d"], None,
+                training=True, return_mask=True,
+                cam_near_far=batch.get("cam_near_far"),
+            )
+            logits = out["instance_mask_logits"]  # [N, I]
+            probs = jnp.clip(jax.nn.softmax(logits, -1), mc.epsilon, 1 - mc.epsilon)
+            gt = batch["masks"]  # [N] int, -1 = unlabeled
+
+            g_probs, g_gt = probs[:num_global], gt[:num_global]
+            labeled = g_gt != -1
+            onehot = jax.nn.one_hot(jnp.maximum(g_gt, 0), n_inst)
+            nll = -jnp.log(jnp.sum(onehot * g_probs, -1))
+            nll = jnp.where(labeled, nll, 0.0)
+            if mc.incoherent_uncertainty_weight < 1 and "incoherent_masks" in batch:
+                inc = batch["incoherent_masks"][:num_global]
+                nll = (1 - inc + mc.incoherent_uncertainty_weight * inc) * nll
+            loss = jnp.sum(nll) / jnp.maximum(jnp.sum(labeled), 1)
+
+            aux = {"ce": loss}
+            if mc.label_regularization_weight > 0:
+                lr_loss = label_regularization(
+                    jax.lax.stop_gradient(out["depth"][:num_global]),
+                    g_probs, mc.patch_size, n_inst,
+                )
+                loss = loss + mc.label_regularization_weight * lr_loss
+            if use_similarity and mc.mixed_sampling:
+                P = mc.local_sample_patch_size**2
+                S = mc.num_local_sample
+                local_probs = probs[num_global:].reshape(S, P, -1)
+                local_rgb = out["image"][num_global:].reshape(S, P, 3)
+                inc = batch.get("error_maps", batch.get("incoherent_masks"))
+                local_inc = inc[num_global:].reshape(S, P)
+                loss = loss + mc.rgb_similarity_loss_weight * rgb_similarity_loss(
+                    key, jax.lax.stop_gradient(local_rgb), local_probs, local_inc,
+                    threshold=mc.rgb_similarity_threshold,
+                    exp_weight=mc.rgb_similarity_exp_weight,
+                    epsilon=mc.epsilon,
+                    num_sample=mc.rgb_similarity_num_sample,
+                    redundant_instance=model.cfg.redundant_instance,
+                    use_pred_logistics=mc.rgb_similarity_use_pred_logistics,
+                )
+
+            # error signal for the EMA map (utils.py:994-1014)
+            gt_onehot = jax.nn.one_hot(jnp.maximum(g_gt, 0), probs.shape[-1])
+            cos = jnp.sum(g_probs * gt_onehot, -1) / (
+                jnp.linalg.norm(g_probs, axis=-1) * jnp.maximum(
+                    jnp.linalg.norm(gt_onehot, axis=-1), 1e-8)
+            )
+            error = jnp.exp(-mc.rgb_similarity_exp_weight * cos - mc.epsilon)
+
+            aux.update({
+                "loss": loss,
+                "pred": jnp.argmax(logits, -1),
+                "error": error,
+            })
+            return loss, aux
+
+        grads, aux = jax.grad(loss_fn, has_aux=True)(state.params)
+        updates, opt_state = tx.update(grads, state.opt_state, state.params)
+        params = optax.apply_updates(state.params, updates)
+        ema = state_lib._ema_update(state.ema_params, params, cfg.train.ema_decay)
+        return TrainState(params, ema, opt_state, state.step + 1), aux
+
+    return step
+
+
+class MaskTrainer(Trainer):
+    """Stage-3 trainer: mask-field training with self-training refresh."""
+
+    def __init__(self, name, cfg: Config, model: NerfModel, **kw):
+        kw.setdefault("metrics", [MeanIoUMeter()])
+        super().__init__(name, cfg, model, **kw)
+        self._mask_step = make_mask_train_step(model, cfg, self.trainable)
+
+    def train(self, train_dataset, valid_dataset=None, max_epoch: int = 1,
+              steps_per_epoch: Optional[int] = None):
+        steps_per_epoch = steps_per_epoch or len(train_dataset)
+        mc = self.cfg.mask
+        num_rays = self.cfg.train.num_rays
+        for _ in range(max_epoch):
+            self.epoch += 1
+            t0 = time.time()
+            miou = MeanIoUMeter()
+            for _ in range(steps_per_epoch):
+                self.global_step += 1
+                batch = train_dataset.collate_mask(self.rng, num_rays)
+                use_sim = (
+                    mc.rgb_similarity_loss_weight > 0
+                    and self.global_step > mc.rgb_similarity_iter >= 0
+                )
+                dev = _device_batch(batch)
+                self.state, aux = self._mask_step(
+                    self.state, dev, self._next_key(),
+                    num_global=num_rays, use_similarity=use_sim,
+                )
+                if train_dataset.error_map is not None:
+                    train_dataset.update_error_map(
+                        batch["index"],
+                        batch["inds_coarse"][:num_rays],
+                        np.asarray(aux["error"]),
+                    )
+                miou.update(np.asarray(aux["pred"][:num_rays]),
+                            batch["masks"][:num_rays])
+            dt = time.time() - t0
+            self.log(
+                f"[mask epoch {self.epoch}] step {self.global_step} "
+                f"loss={float(aux['loss']):.4f} train_mIoU={miou.measure():.4f} "
+                f"({steps_per_epoch / dt:.1f} it/s)"
+            )
+            if valid_dataset is not None:
+                self.evaluate_mask(valid_dataset)
+        self.save_checkpoint(full=True)
+
+    def evaluate_mask(self, dataset, n_frames: Optional[int] = None) -> float:
+        """Full-frame mIoU on held-out views (utils.py:1948-1959)."""
+        from sanerf_tpu.models import renderer as renderer_mod
+
+        meter = MeanIoUMeter()
+        params = self.eval_params()
+        n = min(n_frames or len(dataset), len(dataset))
+        for idx in range(n):
+            frame = dataset.frame(idx)
+            if "masks" not in frame:
+                continue
+            out = renderer_mod.render_staged(
+                self.model, params, jnp.asarray(frame["rays_o"]),
+                jnp.asarray(frame["rays_d"]), return_mask=True,
+            )
+            pred = np.asarray(jnp.argmax(out["instance_mask_logits"], -1))
+            meter.update(pred, frame["masks"])
+        self.log(f"[mask eval] {meter.report()}")
+        return meter.measure()

@@ -73,9 +73,12 @@ def create_train_state(
     if params is None:
         params = fields.init_params(model, key)
     tx = make_optimizer(cfg, trainable)
+    # copy both trees: the train step donates the whole state, which would
+    # otherwise delete the caller's param buffers after the first step
+    params = jax.tree.map(jnp.asarray, params)
+    params = jax.tree.map(jnp.copy, params)
     return TrainState(
         params=params,
-        # materialize a distinct buffer: params and ema are donated together
         ema_params=jax.tree.map(jnp.copy, params),
         opt_state=tx.init(params),
         step=jnp.zeros((), jnp.int32),
