@@ -132,6 +132,8 @@ class TrainConfig:
 
     iters: int = 20000
     lr: float = 1e-2
+    lr_warmup_steps: int = 0  # linear warmup (0 = reference behavior)
+    grad_clip: float = 1.0  # global-norm clip (0 disables)
     adam_eps: float = 1e-15  # main.py:296
     ema_decay: float = 0.95  # main.py:316
     # ray-batch budget: num_rays adaptively scaled so that final-level points

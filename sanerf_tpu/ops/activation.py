@@ -13,7 +13,10 @@ import jax.numpy as jnp
 
 @jax.custom_vjp
 def trunc_exp(x: jax.Array) -> jax.Array:
-    return jnp.exp(x.astype(jnp.float32))
+    # forward input clamp: exp(15) ~ 3.3e6 density saturates any ray within
+    # machine epsilon of alpha=1; without it a hot optimizer step can push
+    # the density head past exp(88) -> inf -> NaN loss (observed on TPU)
+    return jnp.exp(jnp.clip(x.astype(jnp.float32), -15.0, 15.0))
 
 
 def _trunc_exp_fwd(x):

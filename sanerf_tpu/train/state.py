@@ -44,13 +44,18 @@ def lr_schedule(cfg: TrainConfig):
 
     def fn(step):
         frac = jnp.minimum(step / cfg.iters, 1.0)
-        return cfg.lr * jnp.power(0.1, frac)
+        lr = cfg.lr * jnp.power(0.1, frac)
+        if cfg.lr_warmup_steps > 0:
+            lr = lr * jnp.minimum(1.0, (step + 1) / cfg.lr_warmup_steps)
+        return lr
 
     return fn
 
 
 def make_optimizer(cfg: TrainConfig, trainable: Optional[Params] = None):
     tx = optax.adam(learning_rate=lr_schedule(cfg), eps=cfg.adam_eps)
+    if cfg.grad_clip > 0:
+        tx = optax.chain(optax.clip_by_global_norm(cfg.grad_clip), tx)
     if trainable is not None:
         labels = jax.tree.map(lambda t: "trainable" if t else "frozen", trainable)
         tx = optax.multi_transform(

@@ -159,7 +159,7 @@ class OrbitCamera:
         self.radius = r
         self.fovy = fovy
         self.center = np.zeros(3, np.float32)
-        self.rot = np.eye(3, np.float32)
+        self.rot = np.eye(3, dtype=np.float32)
 
     @property
     def pose(self) -> np.ndarray:

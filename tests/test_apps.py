@@ -1,0 +1,214 @@
+"""Application-layer tests: interactive loop, CLI end-to-end, evaluation
+harness, automatic mask generator, label projection."""
+
+import dataclasses
+import json
+import os
+
+import jax
+import numpy as np
+import pytest
+
+from sanerf_tpu.apps import evaluation
+from sanerf_tpu.apps.auto_generator import (
+    AutomaticMaskGenerator, box_nms, build_point_grid, mask_to_rle, rle_to_mask,
+)
+from sanerf_tpu.apps.interactive import InteractiveSession
+from sanerf_tpu.apps.sam_project import generate_masks, project_to_2d, project_to_3d
+from sanerf_tpu.config import Config, ModelConfig, RenderConfig, TrainConfig
+from sanerf_tpu.data.synthetic import SyntheticSphereDataset
+from sanerf_tpu.models import fields
+
+RC = RenderConfig(num_steps=(12, 6), bound=4.0, contract=True, max_ray_batch=8192)
+MC = ModelConfig(field_type="mlp", prop_resolutions=(32,), with_sam=True,
+                 sam_use_view_direction=True,
+                 mlp_enc_freqs=4, mlp_field_width=32, mlp_field_depth=4,
+                 mlp_prop_enc_freqs=3, mlp_prop_width=16, mlp_prop_depth=2,
+                 mlp_sam_width=32, mlp_sam_depth=2, mlp_sam_feat_dim=32,
+                 sam_feat_dim=32, samvit_mlp_hidden=32)
+
+
+def _tiny_sam():
+    from tests.test_sam import TINY_SAM
+    from sanerf_tpu.models.sam import predictor
+
+    params = predictor.init_params(TINY_SAM, jax.random.key(0))
+    cfg = dataclasses.replace(TINY_SAM, decoder=dataclasses.replace(
+        TINY_SAM.decoder, embed_dim=32))
+    return predictor.SamPredictor(TINY_SAM, params)
+
+
+@pytest.fixture(scope="module")
+def session():
+    model = fields.make_model(MC, RC)
+    params = fields.init_params(model, jax.random.key(0))
+    cfg = Config(render=RC, model=MC)
+    # session at 64x64 with the tiny SAM (whose feature dim is 32 -> the
+    # NeRF sam head must emit 32 channels; set via sam_feat_dim above)
+    return InteractiveSession(cfg, model, params, _tiny_sam(), H=64, W=64)
+
+
+def test_interactive_click_and_segment(session):
+    ds = SyntheticSphereDataset(H=64, W=64, n_views=2)
+    pose = ds.poses[0]
+    intr = session.intrinsics_for(pose)
+
+    # frame without clicks: rgb + depth only
+    r0 = session.step(pose, intr)
+    assert r0.rgb.shape == (64, 64, 3) and r0.mask is None
+
+    # click at the center: a 3D point is remembered; segmentation runs
+    r1 = session.step(pose, intr, click=(32, 32))
+    assert len(session.points_3d) == 1
+    assert r1.mask is not None and r1.mask.shape == (64, 64)
+    assert r1.points_2d.shape[0] == 1
+    # reprojected click lands near the click
+    assert abs(r1.points_2d[0][0] - 32) < 2 and abs(r1.points_2d[0][1] - 32) < 2
+
+    # second click at the same spot toggles the point OFF
+    session.step(pose, intr, click=(float(r1.points_2d[0][0]),
+                                    float(r1.points_2d[0][1])))
+    assert len(session.points_3d) == 0
+
+
+def test_interactive_point_persists_across_views(session):
+    ds = SyntheticSphereDataset(H=64, W=64, n_views=8)
+    session.points_3d.clear()
+    r = session.step(ds.poses[0], session.intrinsics_for(ds.poses[0]),
+                     click=(32, 32))
+    assert len(session.points_3d) == 1
+    # neighboring view: the same 3D point reprojects (may or may not survive
+    # occlusion; it must at least not crash and the memory persists)
+    r2 = session.step(ds.poses[1], session.intrinsics_for(ds.poses[1]))
+    assert len(session.points_3d) == 1
+    session.points_3d.clear()
+
+
+def test_project_roundtrip():
+    ds = SyntheticSphereDataset(H=32, W=32, n_views=2)
+    pose = ds.poses[0]
+    intr = ds.intrinsics
+    pts = np.array([[0.0, 0.0, 0.0], [0.2, 0.1, -0.1]], np.float32)
+    xy, z, on = project_to_2d(pts, pose, intr, 32, 32)
+    assert on.all() and (z > 0).all()
+    back = project_to_3d(xy, z, pose, intr)
+    np.testing.assert_allclose(back, pts, atol=1e-4)
+
+
+def test_generate_masks_writes_labels(tmp_path):
+    ds = SyntheticSphereDataset(H=48, W=48, n_views=3)
+    cfg = Config()
+    sam = _tiny_sam()
+    pts = np.array([[0.0, 0.0, 0.0]], np.float32)  # sphere center
+    out_dir = str(tmp_path / "labels")
+    valid = generate_masks(cfg, ds, pts, sam, out_dir)
+    assert len(valid) == 3
+    files = os.listdir(out_dir)
+    assert "valid.json" in files
+    assert sum(f.endswith("_masks.npy") for f in files) == 3
+    m = np.load(os.path.join(out_dir, "0000_masks.npy"))
+    assert m.shape == (48, 48)
+    assert set(np.unique(m)) <= {-1, 0, 1}
+
+
+def test_evaluation_harness(tmp_path):
+    gt_dir, res_dir = str(tmp_path / "gt"), str(tmp_path / "res")
+    os.makedirs(gt_dir)
+    os.makedirs(res_dir)
+    gt = np.zeros((16, 16), np.int64)
+    gt[4:12, 4:12] = 1
+    pred = np.zeros((16, 16), np.int64)
+    pred[5:12, 4:12] = 1
+    np.save(os.path.join(gt_dir, "v1_masks.npy"), gt)
+    np.save(os.path.join(res_dir, "v1_mask.npy"), pred)
+    res = evaluation.evaluate_scene(gt_dir, res_dir, ["v1"], "ours")
+    assert res["n_views"] == 1
+    assert 0.8 < res["miou"] < 1.0
+    assert res["acc"] > 0.9
+    assert evaluation.eval_iou(gt, gt) == 1.0
+
+
+def test_rle_roundtrip(rng):
+    m = rng.random((13, 17)) > 0.5
+    rle = mask_to_rle(m)
+    np.testing.assert_array_equal(rle_to_mask(rle), m)
+
+
+def test_box_nms():
+    boxes = np.array([[0, 0, 10, 10], [1, 1, 11, 11], [20, 20, 30, 30]], float)
+    keep = box_nms(boxes, np.array([0.9, 0.8, 0.7]), iou_thresh=0.5)
+    assert keep == [0, 2]  # near-duplicate suppressed
+
+
+def test_point_grid():
+    g = build_point_grid(4)
+    assert g.shape == (16, 2)
+    assert g.min() > 0 and g.max() < 1
+
+
+def test_auto_generator_runs(session):
+    gen = AutomaticMaskGenerator(
+        session.sam, points_per_side=4, pred_iou_thresh=-10.0,
+        stability_score_thresh=0.0,
+    )
+    img = (np.random.default_rng(0).random((48, 48, 3)) * 255).astype(np.uint8)
+    out = gen.generate(image=img)
+    assert isinstance(out, list)
+    if out:  # random weights may produce empty masks; check format when present
+        assert "segmentation" in out[0] and "predicted_iou" in out[0]
+
+
+def test_cli_end_to_end(tmp_path):
+    """`python -m sanerf_tpu.apps.main` on a transforms.json fixture: train a
+    few steps, checkpoint, then --test renders frames."""
+    import cv2
+
+    from sanerf_tpu.apps.main import main as cli_main
+    from sanerf_tpu.data.synthetic import SyntheticSphereDataset
+    from sanerf_tpu.utils import camera as cam_util
+
+    root = str(tmp_path / "scene")
+    os.makedirs(root, exist_ok=True)
+    ds = SyntheticSphereDataset(H=32, W=32, n_views=8)
+    frames = []
+    for i in range(8):
+        cv2.imwrite(os.path.join(root, f"r_{i}.png"),
+                    cv2.cvtColor((ds.images[i] * 255).astype(np.uint8),
+                                 cv2.COLOR_RGB2BGR))
+        frames.append({"file_path": f"r_{i}",
+                       "transform_matrix": ds.poses[i].tolist()})
+    fovy_rad = 2 * np.arctan(0.5 * 32 / ds.intrinsics[0])
+    with open(os.path.join(root, "transforms.json"), "w") as f:
+        json.dump({"camera_angle_x": float(fovy_rad), "frames": frames}, f)
+
+    ws = str(tmp_path / "ws")
+    common = [root, "--workspace", ws, "--data_type", "llff",
+              "--num_steps", "12", "6", "--num_rays", "256",
+              "--no-adaptive_num_rays",
+              "--max_ray_batch", "4096", "--bound", "4"]
+    trainer = cli_main(common + ["--iters", "30", "--eval_cnt", "1"])
+    assert trainer.global_step >= 30
+    assert os.path.isdir(os.path.join(ws, "checkpoints"))
+
+    trainer = cli_main(common + ["--test", "--test_split", "val"])
+    results = os.listdir(os.path.join(ws, "results"))
+    assert any(f.endswith("_rgb.png") for f in results)
+    assert "pose_dir.json" in results
+
+
+def test_headless_viewer_loop(session):
+    from sanerf_tpu.apps.gui import HeadlessViewer
+
+    cfg = Config(render=RC, model=MC)
+    viewer = HeadlessViewer(cfg, session)
+    session.points_3d.clear()
+    viewer.orbit(50, 10)
+    res = viewer.frame()
+    assert res.rgb.shape == (64, 64, 3)
+    assert viewer.fps > 0
+    res = viewer.right_click(32, 32)
+    assert len(session.points_3d) == 1
+    session.points_3d.clear()
+    # adaptive downscale controller reacts to slow frames
+    viewer.ctrl.update_downscale(3000.0)
+    assert viewer.ctrl.downscale > 1
