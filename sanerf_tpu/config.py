@@ -151,6 +151,8 @@ class TrainConfig:
     # proposal-update schedule (utils.py:910-911)
     prop_warmup_steps: int = 3000
     prop_update_every: int = 5
+    # prefer the native (C++) prefetching ray sampler for plain RGB batches
+    use_native_loader: bool = True
     # checkpoint / eval cadence (main.py:40-43)
     save_cnt: int = 20
     eval_cnt: int = 5

@@ -103,9 +103,24 @@ class Trainer:
         num_rays = state_lib.adaptive_num_rays(
             tc, self.cfg.render.num_steps[-1]
         )
+        sampler = train_dataset
+        native = None
+        if tc.use_native_loader and getattr(train_dataset, "images", None) is not None                 and getattr(train_dataset, "cam_near_far", None) is None:
+            try:
+                from sanerf_tpu.data.native_loader import NativeRaySampler
+
+                native = NativeRaySampler(
+                    train_dataset.poses, train_dataset.intrinsics,
+                    train_dataset.images, num_rays, seed=self.cfg.seed,
+                    prefetch_depth=6, n_threads=4,
+                )
+                sampler = native
+            except Exception as e:  # no toolchain -> python path
+                self.log(f"[INFO] native loader unavailable ({e}); using numpy collate")
         self.log(
             f"[INFO] train: {max_epoch} epochs x {steps_per_epoch} steps, "
             f"num_rays={num_rays}, eval every {eval_interval}, save every {save_interval}"
+            + (" [native loader]" if native else "")
         )
 
         for _ in range(self.epoch, max_epoch):
@@ -114,7 +129,7 @@ class Trainer:
             last_aux = None
             for _ in range(steps_per_epoch):
                 self.global_step += 1
-                batch = train_dataset.collate_train(self.rng, num_rays)
+                batch = sampler.collate_train(self.rng, num_rays)
                 up = state_lib.update_proposal_now(tc, self.global_step)
                 self.state, aux = self._train_step(
                     self.state, _device_batch(batch), self._next_key(),
@@ -133,6 +148,8 @@ class Trainer:
                 self.evaluate_one_epoch(valid_dataset)
             if self.epoch % save_interval == 0:
                 self.save_checkpoint(full=True)
+        if native is not None:
+            native.close()
         self.save_checkpoint(full=True)
 
     # -- evaluation ---------------------------------------------------------
