@@ -63,7 +63,17 @@ class SyntheticSphereDataset:
     depths: np.ndarray = field(init=False)
 
     def __post_init__(self):
-        self.poses = circle_poses(radius=self.radius, height=0.8, n=self.n_views)
+        # two interleaved rings at different heights/radii: a single ring of
+        # same-distance cameras is geometrically degenerate and lets NeRF
+        # collapse to near-plane billboards (perfect train views, garbage
+        # novel views)
+        lo = circle_poses(radius=self.radius, height=0.5, n=(self.n_views + 1) // 2)
+        hi = circle_poses(radius=self.radius * 0.75, height=1.1,
+                          n=self.n_views // 2)
+        poses = np.empty((self.n_views, 4, 4), np.float32)
+        poses[0::2] = lo
+        poses[1::2] = hi
+        self.poses = poses
         f = fov_to_focal(self.fovy, self.H)
         self.intrinsics = np.array([f, f, self.W / 2, self.H / 2], np.float32)
         imgs, deps = [], []
