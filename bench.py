@@ -2,8 +2,8 @@
 
 Measures the reference's north-star workload (readme.md:5, SURVEY.md §3.3):
 one interactive frame = 512x512 staged RGB render + low-res (32x32)
-SAM-feature render (+ SAM mask decode once the decoder lands). Reference:
-5 FPS on a V100. Prints ONE JSON line:
+SAM-feature render + SAM prompt-decoder mask prediction from a click.
+Reference: 5 FPS on a V100. Prints ONE JSON line:
   {"metric": "interactive_fps_512", "value": N, "unit": "fps", "vs_baseline": N/5}
 """
 
@@ -52,13 +52,42 @@ def main():
     ro, rd = full_frame_rays(pose, intr, H, W)
     ro_lr, rd_lr = full_frame_rays(pose, intr_lr, h, w)
 
+    # SAM prompt decoder (randomly initialized — decode cost is
+    # weight-independent), bf16 like production inference
+    from sanerf_tpu.models.sam import SamConfig, SamPredictor
+    from sanerf_tpu.models.sam import predictor as sam_predictor_mod
+
+    sam_cfg = SamConfig()
+    sam_params = sam_predictor_mod.init_params(sam_cfg, jax.random.key(1))
+    # drop the unused ViT-H encoder (641M params) — the interactive loop
+    # only runs the prompt encoder + mask decoder on rendered features
+    sam_params["image_encoder"] = jax.tree.map(
+        lambda x: x[:0] if hasattr(x, "shape") and x.ndim else x,
+        sam_params["image_encoder"],
+    )
+    sam_params = fields.cast_params(sam_params, jnp.bfloat16)
+    sam = SamPredictor(sam_cfg, sam_params)
+    click = np.array([[256.0, 256.0]])
+    click_label = np.ones(1, np.int32)
+
+    from sanerf_tpu.models.sam.predictor import decode_fused
+
+    click_dev = jnp.asarray(click)[None]
+    labels_dev = jnp.asarray(click_label)[None]
+    nh = int(round(h * 64 / max(h, w))) * 16  # virtual input size
+
     def frame():
         out = renderer.render_staged(model, params, ro, rd)
         feat = renderer.render_rays(model, params, ro_lr, rd_lr, return_feats=True)
-        # force the full frame to materialize host-side like the GUI would
+        fv = feat["samvit"].reshape(h, w, -1)  # stays on device
+        masks, iou = decode_fused(
+            sam_cfg, sam_params, fv, click_dev, labels_dev,
+            feat_hw=(h, w), out_hw=(H, W), input_hw=(nh, nh),
+        )
+        # force the frame + mask to materialize host-side like the GUI would
         img = np.asarray(out["image"])
-        fv = np.asarray(feat["samvit"])
-        return img, fv
+        m = np.asarray(masks)
+        return img, m
 
     # warm-up / compile
     t0 = time.time()

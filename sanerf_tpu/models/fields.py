@@ -86,7 +86,14 @@ def apply_mlp(
     layers: Sequence[Params], x: jax.Array, save_intermediates: bool = False
 ) -> Tuple[jax.Array, List[jax.Array]]:
     """ReLU MLP; optionally returns per-layer (detached) activations —
-    post-ReLU for hidden layers, raw for the last (network.py:23-34)."""
+    post-ReLU for hidden layers, raw for the last (network.py:23-34).
+
+    Inputs flatten to 2-D for the whole stack: on TPU a [N, T, C] dot
+    lowers to a batched-GEMM path measured ~8x slower than the flat
+    [N*T, C] GEMM (5% vs 40% MXU utilization)."""
+    prefix = x.shape[:-1]
+    if x.ndim > 2:
+        x = x.reshape(-1, x.shape[-1])
     inter: List[jax.Array] = []
     n = len(layers)
     for l, p in enumerate(layers):
@@ -95,6 +102,9 @@ def apply_mlp(
             x = jax.nn.relu(x)
         if save_intermediates:
             inter.append(jax.lax.stop_gradient(x))
+    if len(prefix) > 1:
+        x = x.reshape(*prefix, x.shape[-1])
+        inter = [i.reshape(*prefix, i.shape[-1]) for i in inter]
     return x, inter
 
 
@@ -122,7 +132,11 @@ def apply_skip_mlp(
     skip_layers: Sequence[int],
     save_intermediates: bool = False,
 ) -> Tuple[jax.Array, List[jax.Array]]:
-    """LeakyReLU MLP with input skip connections (network.py:36-75)."""
+    """LeakyReLU MLP with input skip connections (network.py:36-75).
+    Flattens to 2-D for the stack (see apply_mlp)."""
+    prefix = x.shape[:-1]
+    if x.ndim > 2:
+        x = x.reshape(-1, x.shape[-1])
     x_in = x
     inter: List[jax.Array] = []
     n = len(layers)
@@ -134,6 +148,9 @@ def apply_skip_mlp(
             x = jax.nn.leaky_relu(x, negative_slope=0.01)
         if save_intermediates:
             inter.append(jax.lax.stop_gradient(x))
+    if len(prefix) > 1:
+        x = x.reshape(*prefix, x.shape[-1])
+        inter = [i.reshape(*prefix, i.shape[-1]) for i in inter]
     return x, inter
 
 

@@ -116,21 +116,26 @@ def run_rays(
 
         real_bins = spacing_fn_inv(s_nears * (1.0 - bins) + s_fars * bins)
         rays_t = (real_bins[..., 1:] + real_bins[..., :-1]) / 2.0  # [N, T]
-        xyzs = rays_o[:, None, :] + rays_d[:, None, :] * rays_t[..., None]  # [N, T, 3]
+        # field queries run on FLAT [N*T, 3] points: arrays born 2-D keep
+        # GEMM-friendly {1,0} layouts end to end, whereas flattening a
+        # [N, T, C] intermediate later costs a physical transpose on TPU
+        # (profiled at ~30% of a frame)
+        xyzs = (
+            rays_o[:, None, :] + rays_d[:, None, :] * rays_t[..., None]
+        ).reshape(N * T, 3)
         if cfg.contract:
             xyzs = contract(xyzs)
 
         if not last:
             sigmas = fields.density(model, params, xyzs, proposal=level)
+            sigmas = sigmas.reshape(N, T)
             if not update_proposal:
                 sigmas = jax.lax.stop_gradient(sigmas)
         else:
-            dirs = rays_d[:, None, :] / jnp.linalg.norm(
-                rays_d[:, None, :], axis=-1, keepdims=True
-            )
-            dirs = jnp.broadcast_to(dirs, xyzs.shape)
+            dirs = rays_d / jnp.linalg.norm(rays_d, axis=-1, keepdims=True)
+            dirs = jnp.broadcast_to(dirs[:, None, :], (N, T, 3)).reshape(N * T, 3)
             outputs = fields.forward(model, params, xyzs, dirs, save_inter)
-            sigmas = outputs["sigma"]
+            sigmas = outputs["sigma"].reshape(N, T)
             if mc.with_sam:
                 features = fields.sam_features(model, params, xyzs)
             if return_mask and mc.mask_mlp_type in ("default", "lightweight_mask"):
@@ -143,17 +148,21 @@ def run_rays(
             all_bins.append(bins)
             all_weights.append(weights)
 
-    colors = outputs["color"]  # [N, T, 31]
+    T_last = num_steps[-1]
+    # field outputs are flat [N*T, C]; reshape (free bitcast) only where a
+    # per-ray reduction needs the [N, T, C] view
+    per_ray = lambda x: x.reshape(N, T_last, -1)
+    colors = outputs["color"]  # [N*T, 31]
     geo_feat = outputs["geo_feat"]
 
-    weights_sum, depth, f_image = composite(weights, rays_t, colors)
+    weights_sum, depth, f_image = composite(weights, rays_t, per_ray(colors))
 
     view_inter = []
     f_colors = None
     if mc.sum_after_mlp:
         # per-sample view MLP then composite (renderer.py:339-342)
         f_colors, view_inter = fields.apply_mlp(params["view_mlp"], colors, save_inter)
-        f_colors_sum = jnp.sum(weights[..., None] * f_colors, axis=-2)
+        f_colors_sum = jnp.sum(weights[..., None] * per_ray(f_colors), axis=-2)
         image = jax.nn.sigmoid(f_colors_sum)
     else:
         rgb_logits, view_inter = fields.apply_mlp(params["view_mlp"], f_image, save_inter)
@@ -187,15 +196,15 @@ def run_rays(
             else:
                 f = jnp.concatenate([features, geo_feat, f_colors], axis=-1)
             samvit_out, sam_inter = fields.apply_samvit_head(model, params, f, save_inter)
-            samvit = jnp.sum(weights[..., None] * samvit_out, axis=-2)
+            samvit = jnp.sum(weights[..., None] * per_ray(samvit_out), axis=-2)
         else:
             # composite-then-head: one MLP per ray, not per sample
             # (renderer.py:377-388)
-            f_sam = jnp.sum(weights[..., None] * features, axis=-2)
+            f_sam = jnp.sum(weights[..., None] * per_ray(features), axis=-2)
             if mc.sam_use_view_direction:
                 mid = f_image
             else:
-                mid = jnp.sum(weights[..., None] * geo_feat, axis=-2)
+                mid = jnp.sum(weights[..., None] * per_ray(geo_feat), axis=-2)
             f = jnp.concatenate([f_sam, mid, image, depth[..., None]], axis=-1)
             samvit, sam_inter = fields.apply_samvit_head(model, params, f, save_inter)
         if return_feats:
@@ -208,7 +217,8 @@ def run_rays(
             sam_inter=sam_inter,
         )
         results["instance_mask_logits"] = jnp.sum(
-            jax.lax.stop_gradient(weights)[..., None] * point_masks, axis=-2
+            jax.lax.stop_gradient(weights)[..., None] * per_ray(point_masks),
+            axis=-2,
         )  # (renderer.py:453-454)
 
     return results

@@ -76,6 +76,47 @@ def decode(
     return mask_decoder.select_masks(masks, iou, multimask_output)
 
 
+@functools.partial(
+    jax.jit, static_argnames=("cfg", "multimask_output", "feat_hw", "out_hw",
+                              "input_hw"),
+)
+def decode_fused(
+    cfg: SamConfig,
+    params,
+    feats: jax.Array,  # [h, w, 256] rendered feature map (device)
+    point_coords: jax.Array,  # [B, N, 2] ORIGINAL-image (x, y)
+    point_labels: jax.Array,  # [B, N]
+    feat_hw: Tuple[int, int],
+    out_hw: Tuple[int, int],
+    input_hw: Tuple[int, int],
+    multimask_output: bool = False,
+):
+    """The whole interactive decode as ONE program: feature injection
+    (resize<=64 + zero-pad), coord transform, prompt encode, mask decode,
+    and upsample-to-original — no intermediate host round-trips. This is the
+    latency-critical path of the GUI loop (SURVEY.md §3.3); the step-by-step
+    `SamPredictor.predict` costs ~150 ms in dispatch/host transfers that
+    this fuses away."""
+    grid = cfg.prompt.image_embedding_size[0]
+    h, w = feat_hw
+    oh, ow = out_hw
+    ih, iw = input_hw
+    scale = grid / max(h, w)
+    nh, nw = int(round(h * scale)), int(round(w * scale))
+    f = jax.image.resize(feats, (nh, nw, feats.shape[-1]), "bilinear")
+    f = jnp.pad(f, ((0, grid - nh), (0, grid - nw), (0, 0)))[None]
+
+    coords = point_coords * jnp.asarray([iw / ow, ih / oh], jnp.float32)
+    masks, iou = decode(cfg, params, f, coords, point_labels, multimask_output)
+
+    target = cfg.vit.img_size
+    B, M = masks.shape[:2]
+    up = jax.image.resize(masks, (B, M, target, target), "bilinear")
+    up = up[:, :, :ih, :iw]
+    full = jax.image.resize(up, (B, M, oh, ow), "bilinear")
+    return full > cfg.mask_threshold, iou
+
+
 class SamPredictor:
     """Stateful convenience wrapper (mirrors segment_anything's predictor)."""
 

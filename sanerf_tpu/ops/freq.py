@@ -46,7 +46,10 @@ def freq_encode(x: jax.Array, degree: int = 4) -> jax.Array:
         proj[:, col : col + D] = (2.0**f) * np.eye(D)  # cos block
         phase[col : col + D] = np.pi / 2
         col += D
-    z = jnp.dot(x, jnp.asarray(proj), preferred_element_type=jnp.float32)
+    # HIGHEST precision: TPU matmuls default to bf16 passes, and the PE
+    # phase z reaches ~2^L rad — bf16 rounding there corrupts sin(z)
+    z = jnp.dot(x, jnp.asarray(proj), preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.HIGHEST)
     return jnp.where(jnp.asarray(is_linear), z, jnp.sin(z + jnp.asarray(phase)))
 
 
