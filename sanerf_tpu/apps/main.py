@@ -201,6 +201,8 @@ def config_from_args(args) -> Config:
     return Config(
         workspace=args.workspace, seed=args.seed, ckpt=args.ckpt,
         init_ckpt=args.init_ckpt, test=args.test, gui=args.gui,
+        render_mask_type=args.render_mask_type,
+        render_mask_instance_id=args.render_mask_instance_id,
         render=render, model=model, train=train, sam=sam, mask=mask, data=data,
     )
 
@@ -220,7 +222,7 @@ def build_sam_predictor(cfg: Config):
     return SamPredictor(sam_cfg, cast_params(params, jnp.bfloat16))
 
 
-def run(cfg: Config, write_video: bool = False):
+def run(cfg: Config, write_video: bool = False, return_extra: bool = False):
     import jax
 
     from sanerf_tpu.data.provider import SceneDataset
@@ -258,7 +260,7 @@ def run(cfg: Config, write_video: bool = False):
             )
             if test_ds.images is not None:
                 trainer.evaluate_one_epoch(test_ds)
-        trainer.test(test_ds, write_video=write_video)
+        trainer.test(test_ds, write_video=write_video, return_extra=return_extra)
         return trainer
 
     train_ds = SceneDataset(cfg, cfg.data.train_split)
@@ -290,7 +292,7 @@ def main(argv=None):
     args = build_parser().parse_args(argv)
     cfg = config_from_args(args)
     np.random.seed(cfg.seed)
-    return run(cfg, write_video=args.write_video)
+    return run(cfg, write_video=args.write_video, return_extra=args.return_extra)
 
 
 if __name__ == "__main__":

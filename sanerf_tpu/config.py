@@ -171,6 +171,9 @@ class SamTrainConfig:
     # (colmap_provider.py:989-1004), fixed 60 at eval
     fovy_range: Tuple[float, float] = (50.0, 70.0)
     eval_fovy: float = 60.0
+    # LERF-style slerp augmentation between two random train poses
+    # (lerf_provider.py:261-278, main.py:122 --pose_jittering)
+    pose_jittering: bool = False
 
 
 @dataclass(frozen=True)
@@ -232,6 +235,9 @@ class Config:
     init_ckpt: str = ""
     test: bool = False
     gui: bool = False
+    # mask render visualization (main.py:193-197)
+    render_mask_type: str = "heatmap"  # mask | composition | heatmap
+    render_mask_instance_id: int = 0
     render: RenderConfig = field(default_factory=RenderConfig)
     model: ModelConfig = field(default_factory=ModelConfig)
     train: TrainConfig = field(default_factory=TrainConfig)

@@ -96,6 +96,7 @@ class SceneDataset:
         if self.cfg.mask.error_map and self.training:
             S = self.cfg.mask.error_map_size
             self.error_map = np.ones((len(self.poses), S * S), np.float32) * 0.1
+        self.multi_res_level = 0  # raised by the trainer (use_multi_res)
 
     # -- loaders --------------------------------------------------------------
 
@@ -437,6 +438,15 @@ class SceneDataset:
         res = sc.online_resolution
         i = int(rng.integers(0, len(self.poses)))
         pose = self.poses[i]
+        if self.training and sc.pose_jittering and len(self.poses) > 1:
+            # slerp between two random train poses (lerf_provider.py:261-278)
+            j = int(rng.integers(0, len(self.poses)))
+            t = float(rng.uniform(0.2, 0.8))
+            qa = cam_util.rotmat_to_quat(self.poses[i][:3, :3])
+            qb = cam_util.rotmat_to_quat(self.poses[j][:3, :3])
+            pose = np.eye(4, dtype=np.float32)
+            pose[:3, :3] = cam_util.quat_to_rotmat(cam_util.slerp_quat(qa, qb, t))
+            pose[:3, 3] = (1 - t) * self.poses[i][:3, 3] + t * self.poses[j][:3, 3]
         if self.training:
             fovy = float(rng.uniform(*sc.fovy_range))
         else:
@@ -464,7 +474,20 @@ class SceneDataset:
         colmap_provider.py:1047-1070)."""
         mc = self.cfg.mask
         i = int(rng.integers(0, len(self.poses)))
-        rb = sample_rays(self.poses[i], self.intrinsics, self.H, self.W,
+        # multi-resolution schedule (colmap_provider.py:940-962): early
+        # training samples a coarse pixel grid; the trainer raises the level
+        stride = 1
+        if mc.use_multi_res:
+            stride = 2 ** max(0, mc.max_multi_res_level - self.multi_res_level)
+        if stride > 1:
+            Hs, Ws = self.H // stride, self.W // stride
+            sub = rng.integers(0, Hs * Ws, num_rays)
+            ys, xs = np.divmod(sub, Ws)
+            coords = np.stack([ys * stride, xs * stride], -1)
+            rb = sample_rays(self.poses[i], self.intrinsics, self.H, self.W,
+                             coords=coords, rng=rng)
+        else:
+            rb = sample_rays(self.poses[i], self.intrinsics, self.H, self.W,
                          N=num_rays, rng=rng,
                          importance_map=self.error_map[i] if self.error_map is not None else None,
                          importance_size=mc.error_map_size)

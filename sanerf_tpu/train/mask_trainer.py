@@ -133,6 +133,19 @@ class MaskTrainer(Trainer):
             miou = MeanIoUMeter()
             for _ in range(steps_per_epoch):
                 self.global_step += 1
+                # multi-res schedule: raise the sampling resolution level
+                # every multi_res_update_iter steps (colmap_provider.py:940-962)
+                if mc.use_multi_res and hasattr(train_dataset, "multi_res_level"):
+                    train_dataset.multi_res_level = min(
+                        mc.max_multi_res_level,
+                        self.global_step // max(1, mc.multi_res_update_iter),
+                    )
+                # dynamic incoherent refresh: re-derive boundary maps from the
+                # model's own rendered masks (self-training, utils.py:1716-1780)
+                if (mc.use_dynamic_incoherent
+                        and self.global_step % max(1, mc.incoherent_update_iter) == 0
+                        and getattr(train_dataset, "masks", None) is not None):
+                    self.update_incoherent_masks(train_dataset)
                 batch = train_dataset.collate_mask(self.rng, num_rays)
                 use_sim = (
                     mc.rgb_similarity_loss_weight > 0
@@ -180,3 +193,58 @@ class MaskTrainer(Trainer):
             meter.update(pred, frame["masks"])
         self.log(f"[mask eval] {meter.report()}")
         return meter.measure()
+
+
+    # -- self-training label refresh (utils.py:1716-1780) ---------------------
+
+    def render_train_masks(self, dataset, n_frames: Optional[int] = None):
+        """Render predicted instance labels for train views."""
+        from sanerf_tpu.models import renderer as renderer_mod
+
+        params = self.eval_params()
+        n = min(n_frames or len(dataset), len(dataset))
+        out = []
+        for idx in range(n):
+            frame = dataset.frame(idx)
+            r = renderer_mod.render_staged(
+                self.model, params, jnp.asarray(frame["rays_o"]),
+                jnp.asarray(frame["rays_d"]), return_mask=True,
+            )
+            out.append(np.asarray(
+                jnp.argmax(r["instance_mask_logits"], -1)
+            ).reshape(frame["H"], frame["W"]))
+        return np.stack(out)
+
+    def update_ground_truth(self, dataset, n_frames: Optional[int] = None):
+        """Replace provider labels with the model's own renders
+        (`update_ground_truth`, utils.py:1739-1758)."""
+        rendered = self.render_train_masks(dataset, n_frames)
+        dataset.masks[: len(rendered)] = rendered.astype(dataset.masks.dtype)
+
+    def update_incoherent_masks(self, dataset, n_frames: int = 4):
+        """Recompute incoherent boundary maps from rendered masks
+        (`update_incoherent_mask`, utils.py:1760-1780). Refreshes a rotating
+        subset of views per call to bound the cost."""
+        from sanerf_tpu.data.rays import get_incoherent_mask
+
+        if dataset.incoherent_masks is None:
+            return
+        n = len(dataset)
+        start = (self.global_step // max(
+            1, self.cfg.mask.incoherent_update_iter) * n_frames) % n
+        idxs = [(start + k) % n for k in range(min(n_frames, n))]
+        for idx in idxs:
+            frame = dataset.frame(idx)
+            from sanerf_tpu.models import renderer as renderer_mod
+
+            r = renderer_mod.render_staged(
+                self.model, self.eval_params(), jnp.asarray(frame["rays_o"]),
+                jnp.asarray(frame["rays_d"]), return_mask=True,
+            )
+            pred = np.asarray(jnp.argmax(r["instance_mask_logits"], -1)).reshape(
+                frame["H"], frame["W"]
+            )
+            dataset.incoherent_masks[idx] = get_incoherent_mask(
+                (pred > 0).astype(np.float32),
+                sfact=max(1, self.cfg.mask.incoherent_downsample_scale),
+            )

@@ -61,6 +61,8 @@ class Trainer:
 
         os.makedirs(self.workspace, exist_ok=True)
         self.log_path = os.path.join(self.workspace, f"log_{name}.txt")
+        self.metrics_path = os.path.join(self.workspace, f"metrics_{name}.jsonl")
+        self.writer = None  # tensorboardX opt-in via enable_tensorboard()
         self.ckpt_mgr = ckpt_lib.CheckpointManager(
             self.workspace, name, max_keep=cfg.train.max_keep_ckpt
         )
@@ -91,6 +93,27 @@ class Trainer:
         print(msg, flush=True)
         with open(self.log_path, "a") as f:
             f.write(msg + "\n")
+
+    def log_metrics(self, scalars: Dict, prefix: str = "train"):
+        """Structured observability: JSONL append + optional tensorboard
+        (replaces the reference's tensorboardX/wandb hooks,
+        utils.py:560, 1480-1482, 1825-1850)."""
+        rec = {"step": self.global_step, "epoch": self.epoch,
+               **{k: float(v) for k, v in scalars.items()}}
+        with open(self.metrics_path, "a") as f:
+            f.write(json.dumps(rec) + "\n")
+        if self.writer is not None:
+            for k, v in scalars.items():
+                self.writer.add_scalar(f"{prefix}/{k}", float(v), self.global_step)
+
+    def enable_tensorboard(self):
+        try:
+            from tensorboardX import SummaryWriter
+
+            self.writer = SummaryWriter(os.path.join(self.workspace, "run"))
+        except ImportError:
+            self.log("[WARN] tensorboardX unavailable")
+        return self.writer
 
     # -- training -----------------------------------------------------------
 
@@ -127,18 +150,22 @@ class Trainer:
             self.epoch += 1
             t0 = time.time()
             last_aux = None
-            for _ in range(steps_per_epoch):
-                self.global_step += 1
-                batch = sampler.collate_train(self.rng, num_rays)
-                up = state_lib.update_proposal_now(tc, self.global_step)
-                self.state, aux = self._train_step(
-                    self.state, _device_batch(batch), self._next_key(),
-                    update_proposal=up,
-                )
-                last_aux = aux
+            with jax.profiler.TraceAnnotation(f"train_epoch_{self.epoch}"):
+                for _ in range(steps_per_epoch):
+                    self.global_step += 1
+                    batch = sampler.collate_train(self.rng, num_rays)
+                    up = state_lib.update_proposal_now(tc, self.global_step)
+                    self.state, aux = self._train_step(
+                        self.state, _device_batch(batch), self._next_key(),
+                        update_proposal=up,
+                    )
+                    last_aux = aux
             # fetch once per epoch (keeps the device pipeline full)
             aux = {k: float(v) for k, v in last_aux.items()}
             dt = time.time() - t0
+            aux["it_per_s"] = steps_per_epoch / dt
+            self.log_metrics({k: v for k, v in aux.items()
+                              if isinstance(v, float)})
             self.log(
                 f"[epoch {self.epoch}] step {self.global_step} "
                 f"loss={aux['loss']:.6f} psnr={aux['psnr']:.2f} "
@@ -192,20 +219,26 @@ class Trainer:
         self.log(f"[eval epoch {self.epoch}] " + " | ".join(m.report() for m in self.metrics))
         return results
 
-    def test(self, dataset, out_dir: Optional[str] = None, write_video: bool = False):
+    def test(self, dataset, out_dir: Optional[str] = None, write_video: bool = False,
+             return_extra: bool = False):
         """Offline test renders: rgb png + depth npy per frame + pose_dir
-        manifest (utils.py:1515-1585)."""
+        manifest (utils.py:1515-1585); mask models additionally save
+        `_mask.npy` + a visualization per `render_mask_type`
+        (mask | composition | heatmap, main.py:193-197)."""
         out_dir = out_dir or os.path.join(self.workspace, "results")
         os.makedirs(out_dir, exist_ok=True)
         params = self.eval_params()
         pose_dir = {}
         frames_rgb = []
+        mc = self.cfg.model
         for idx in range(len(dataset)):
             frame = dataset.frame(idx)
             out = renderer.render_staged(
                 self.model, params, jax.numpy.asarray(frame["rays_o"]),
                 jax.numpy.asarray(frame["rays_d"]),
                 cam_near_far=_maybe_device(frame.get("cam_near_far")),
+                return_mask=mc.with_mask,
+                return_feats=mc.with_sam and return_extra,
             )
             H, W = frame["H"], frame["W"]
             name = frame.get("name", f"{idx:04d}")
@@ -213,6 +246,19 @@ class Trainer:
             depth = np.asarray(out["depth"]).reshape(H, W)
             _save_image(os.path.join(out_dir, f"{name}_rgb.png"), pred)
             np.save(os.path.join(out_dir, f"{name}_depth.npy"), depth)
+            if mc.with_mask:
+                logits = np.asarray(out["instance_mask_logits"]).reshape(H, W, -1)
+                np.save(os.path.join(out_dir, f"{name}_mask.npy"), logits)
+                _save_image(
+                    os.path.join(out_dir, f"{name}_maskvis.png"),
+                    render_mask_visualization(
+                        pred, logits, self.cfg.render_mask_type,
+                        instance_id=self.cfg.render_mask_instance_id,
+                    ),
+                )
+            if mc.with_sam and return_extra and "samvit" in out:
+                np.save(os.path.join(out_dir, f"{name}_sam.npy"),
+                        np.asarray(out["samvit"]))
             if "pose" in frame:
                 pose_dir[name] = np.asarray(frame["pose"]).tolist()
             frames_rgb.append((pred * 255).astype(np.uint8))
@@ -284,6 +330,27 @@ def _device_batch(batch: Dict) -> Dict:
 
 def _maybe_device(x):
     return None if x is None else jax.numpy.asarray(x)
+
+
+def render_mask_visualization(rgb: np.ndarray, logits: np.ndarray,
+                              mode: str = "heatmap", instance_id: int = 0) -> np.ndarray:
+    """Mask visualizations (main.py:193-197 --render_mask_type):
+    `mask` = binary argmax mask; `composition` = mask blended over rgb;
+    `heatmap` = softmax probability of the chosen instance."""
+    e = np.exp(logits - logits.max(-1, keepdims=True))
+    probs = e / e.sum(-1, keepdims=True)
+    if mode == "mask":
+        m = (np.argmax(logits, -1) == instance_id).astype(np.float32)
+        return np.repeat(m[..., None], 3, -1)
+    if mode == "composition":
+        m = np.argmax(logits, -1) == instance_id
+        out = rgb.copy()
+        out[m] = 0.5 * out[m] + 0.5 * np.array([0.2, 0.5, 1.0], np.float32)
+        return out
+    # heatmap
+    p = probs[..., instance_id]
+    heat = np.stack([p, 0.2 * p, 1.0 - p], -1)
+    return 0.5 * rgb + 0.5 * heat
 
 
 def _save_image(path: str, img: np.ndarray):

@@ -212,3 +212,35 @@ def test_headless_viewer_loop(session):
     # adaptive downscale controller reacts to slow frames
     viewer.ctrl.update_downscale(3000.0)
     assert viewer.ctrl.downscale > 1
+
+
+def test_render_mask_visualizations(rng):
+    from sanerf_tpu.train.trainer import render_mask_visualization
+
+    rgb = rng.random((8, 8, 3)).astype(np.float32)
+    logits = rng.standard_normal((8, 8, 3)).astype(np.float32)
+    for mode in ("mask", "composition", "heatmap"):
+        out = render_mask_visualization(rgb, logits, mode, instance_id=1)
+        assert out.shape == (8, 8, 3)
+        assert np.isfinite(out).all()
+    m = render_mask_visualization(rgb, logits, "mask", instance_id=0)
+    assert set(np.unique(m)) <= {0.0, 1.0}
+
+
+def test_encoder_factory(rng):
+    import jax
+    import jax.numpy as jnp
+    from sanerf_tpu.ops.encoding import get_encoder
+
+    x = jnp.asarray(rng.uniform(-1, 1, (16, 3)).astype(np.float32))
+    for name, kw in [("frequency", dict(multires=4)), ("sh", dict(degree=4)),
+                     ("hashgrid", dict(num_levels=2, log2_hashmap_size=8,
+                                       desired_resolution=16)),
+                     ("tiledgrid", dict(num_levels=2, log2_hashmap_size=8,
+                                        desired_resolution=16)),
+                     ("None", {})]:
+        params, apply, dim = get_encoder(name, **kw)
+        d = np.asarray(x / jnp.linalg.norm(x, axis=-1, keepdims=True))
+        inp = jnp.asarray(d) if name == "sh" else x
+        out = apply(params, inp, bound=1.0)
+        assert out.shape == (16, dim), name
