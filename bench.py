@@ -34,7 +34,7 @@ def main():
     # flagship config: stage-2 SAM model at reference scale, TPU-native
     # MLP field family (Fourier features + MXU-shaped MLPs)
     rc = RenderConfig(num_steps=(128, 64, 32), bound=128.0, contract=True,
-                      max_ray_batch=4096 * 16)
+                      max_ray_batch=65536)
     mc = ModelConfig(field_type="mlp", with_sam=True, sam_use_view_direction=True)
     model = fields.make_model(mc, rc)
     params = fields.init_params(model, jax.random.key(0))
@@ -76,16 +76,20 @@ def main():
     labels_dev = jnp.asarray(click_label)[None]
     nh = int(round(h * 64 / max(h, w))) * 16  # virtual input size
 
+    to_u8 = jax.jit(lambda x: (jnp.clip(x, 0, 1) * 255).astype(jnp.uint8))
+
     def frame():
-        out = renderer.render_staged(model, params, ro, rd)
+        out = renderer.render_frame(model, params, ro, rd,
+                                    chunk=rc.max_ray_batch)
         feat = renderer.render_rays(model, params, ro_lr, rd_lr, return_feats=True)
         fv = feat["samvit"].reshape(h, w, -1)  # stays on device
         masks, iou = decode_fused(
             sam_cfg, sam_params, fv, click_dev, labels_dev,
             feat_hw=(h, w), out_hw=(H, W), input_hw=(nh, nh),
         )
-        # force the frame + mask to materialize host-side like the GUI would
-        img = np.asarray(out["image"])
+        # materialize the display frame host-side like the GUI would —
+        # as uint8 (the texture format), converted on device
+        img = np.asarray(to_u8(out["image"]))
         m = np.asarray(masks)
         return img, m
 

@@ -65,7 +65,7 @@ class InteractiveSession:
         H, W = self.H // downscale, self.W // downscale
         intr = np.asarray(intrinsics, np.float32) / downscale
         ro, rd = full_frame_rays(jnp.asarray(pose), jnp.asarray(intr), H, W)
-        out = renderer.render_staged(self.model, self.params, ro, rd)
+        out = renderer.render_frame(self.model, self.params, ro, rd)
         rgb = np.asarray(out["image"]).reshape(H, W, 3)
         depth = np.asarray(out["depth"]).reshape(H, W)
         if downscale > 1:

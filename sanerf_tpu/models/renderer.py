@@ -290,6 +290,56 @@ render_rays = jax.jit(
 )
 
 
+@functools.partial(
+    jax.jit,
+    static_argnames=("model", "chunk", "return_feats", "return_mask"),
+)
+def render_frame(
+    model: NerfModel,
+    params: Params,
+    rays_o: jax.Array,
+    rays_d: jax.Array,
+    *,
+    chunk: int = 65536,
+    return_feats: bool = False,
+    return_mask: bool = False,
+    bg_color: float = 1.0,
+) -> Dict[str, jax.Array]:
+    """Whole-frame inference as ONE jitted program.
+
+    `render_staged` dispatches one program per chunk; through a remote/relay
+    runtime each dispatch costs tens of ms of latency (profiled: ~250 ms of
+    a 512^2 frame was host/dispatch gaps). Here the chunk loop is a
+    `lax.map` inside a single program: one dispatch, device stays busy, and
+    peak memory is still one chunk's activations. Ray count must not exceed
+    ceil(N/chunk)*chunk after padding (handled internally).
+    """
+    N = rays_o.shape[0]
+    n_chunks = max(1, -(-N // chunk))
+    pad = n_chunks * chunk - N
+    if pad:
+        rays_o = jnp.concatenate([rays_o, jnp.broadcast_to(rays_o[-1:], (pad, 3))], 0)
+        rays_d = jnp.concatenate([rays_d, jnp.broadcast_to(rays_d[-1:], (pad, 3))], 0)
+    ro = rays_o.reshape(n_chunks, chunk, 3)
+    rd = rays_d.reshape(n_chunks, chunk, 3)
+
+    def body(args):
+        o, d = args
+        out = run_rays(
+            model, params, o, d, None, bg_color=bg_color,
+            return_feats=return_feats, return_mask=return_mask,
+        )
+        keep = {"image", "depth", "weights_sum"}
+        if return_feats:
+            keep.add("samvit")
+        if return_mask:
+            keep.add("instance_mask_logits")
+        return {k: v for k, v in out.items() if k in keep}
+
+    out = jax.lax.map(body, (ro, rd))
+    return {k: v.reshape(n_chunks * chunk, *v.shape[2:])[:N] for k, v in out.items()}
+
+
 def render_staged(
     model: NerfModel,
     params: Params,
