@@ -86,23 +86,48 @@ class InteractiveSession:
 
     # -- 3D point memory ---------------------------------------------------------
 
-    def toggle_point(self, px: float, py: float, pose: np.ndarray, depth: np.ndarray):
-        """Click at pixel (px, py): lift to 3D and toggle (utils.py:1318-1345)."""
+    def toggle_point(self, px: float, py: float, pose: np.ndarray, depth: np.ndarray,
+                     pixel_radius: float = 8.0):
+        """Click at pixel (px, py): lift to 3D and toggle (utils.py:1318-1345).
+
+        Removal matches in SCREEN space first (within `pixel_radius` px of an
+        existing point's reprojection): the reference's 0.01 world-distance
+        test assumes full-resolution depth, but under the adaptive-downscale
+        viewer the re-lifted point can differ by more than that at the same
+        click position.
+        """
+        intr = self.intrinsics_for(pose)
+        if self.points_3d:
+            pts2d_all = self._project_all(pose, intr)
+            d2 = np.hypot(pts2d_all[:, 0] - px, pts2d_all[:, 1] - py)
+            k = int(np.argmin(d2)) if len(d2) else -1
+            if k >= 0 and d2[k] < pixel_radius:
+                self.points_3d.pop(k)
+                return
         j, i = int(np.clip(py, 0, self.H - 1)), int(np.clip(px, 0, self.W - 1))
         d = float(depth[j, i])
         if d <= 0:
             return
-        intr = self.intrinsics_for(pose)
         fx, fy, cx, cy = intr
         direction = np.array(
             [(px + 0.5 - cx) / fx, -(py + 0.5 - cy) / fy, -1.0], np.float32
         )
         world = pose[:3, 3] + (pose[:3, :3] @ direction) * d
         for k, p in enumerate(self.points_3d):
-            if np.linalg.norm(p - world) < 0.01:
+            if np.linalg.norm(p - world) < 0.01:  # reference semantics
                 self.points_3d.pop(k)
                 return
         self.points_3d.append(world)
+
+    def _project_all(self, pose: np.ndarray, intrinsics: np.ndarray) -> np.ndarray:
+        """Reproject ALL 3D points (no occlusion test), [P, 2]."""
+        fx, fy, cx, cy = intrinsics
+        pts = np.stack(self.points_3d)
+        cam = (pts - pose[:3, 3]) @ pose[:3, :3]
+        z = np.maximum(-cam[:, 2], 1e-6)
+        x = cam[:, 0] / z * fx + cx - 0.5
+        y = -cam[:, 1] / z * fy + cy - 0.5
+        return np.stack([x, y], -1)
 
     def intrinsics_for(self, pose) -> np.ndarray:
         f = fov_to_focal(60.0, self.H)

@@ -100,3 +100,12 @@ def test_dp_grad_equivalence(rng):
                              out_specs=P(), check_rep=False))(params, dev)
     for a, b in zip(jax.tree.leaves(g_full), jax.tree.leaves(g_dp)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=2e-3, atol=2e-5)
+
+
+def test_multihost_helpers_single_process():
+    from sanerf_tpu.parallel import multihost
+
+    multihost.initialize()  # no-op single process
+    idx = multihost.process_shard_indices(10)
+    np.testing.assert_array_equal(idx, np.arange(10))
+    assert multihost.local_batch_size(64) == 64
