@@ -98,8 +98,9 @@ def main():
     frame()
     compile_s = time.time() - t0
 
+    frame()  # second warm frame (relay variance)
     times = []
-    for _ in range(5):
+    for _ in range(7):
         t0 = time.time()
         frame()
         times.append(time.time() - t0)
