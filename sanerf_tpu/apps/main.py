@@ -66,6 +66,9 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--num_rays", type=int, default=4096)
     p.add_argument("--adaptive_num_rays", action=argparse.BooleanOptionalAction, default=True)
     p.add_argument("--num_points", type=int, default=2**18)
+    p.add_argument("--n_devices", type=int, default=1,
+                   help="data-parallel chips: shard_map the train step over "
+                   "a 1-D mesh (grad pmean over ICI) and shard eval renders")
 
     p.add_argument("--lambda_entropy", type=float, default=0)
     p.add_argument("--lambda_tv", type=float, default=0)
@@ -159,7 +162,7 @@ def config_from_args(args) -> Config:
         lambda_entropy=args.lambda_entropy, lambda_tv=args.lambda_tv,
         lambda_wd=args.lambda_wd, lambda_proposal=args.lambda_proposal,
         lambda_distort=args.lambda_distort, save_cnt=args.save_cnt,
-        eval_cnt=args.eval_cnt,
+        eval_cnt=args.eval_cnt, n_devices=args.n_devices,
     )
     sam = SamTrainConfig(
         online_resolution=args.online_resolution, cache_size=args.cache_size,

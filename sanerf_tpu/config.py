@@ -153,6 +153,10 @@ class TrainConfig:
     prop_update_every: int = 5
     # prefer the native (C++) prefetching ray sampler for plain RGB batches
     use_native_loader: bool = True
+    # data-parallel device count: >1 wraps the canonical train step in
+    # shard_map over a 1-D mesh (grads pmean over ICI) and shards eval
+    # renders (SURVEY.md §2.3; replaces the vestigial DDP of utils.py:596-599)
+    n_devices: int = 1
     # checkpoint / eval cadence (main.py:40-43)
     save_cnt: int = 20
     eval_cnt: int = 5

@@ -6,6 +6,10 @@ parallelism via `shard_map` over a `jax.sharding.Mesh`:
 
 - training: each chip renders its ray shard, gradients are `pmean`-reduced
   over ICI, the (replicated) optimizer state updates identically everywhere.
+  The sharded step calls the SAME `train.state.rgb_step_body` as the
+  single-device step — one loss implementation, full batch-dict support
+  (RGBA images, per-ray `cam_near_far`, TV/WD regularizers, the
+  `update_proposal` schedule).
 - inference: full-frame rays shard across chips; outputs gather back on the
   `data` axis (the eval all_gather of utils.py:1919-1943, done properly).
 
@@ -22,14 +26,12 @@ from typing import Dict, Optional, Tuple
 import jax
 import jax.numpy as jnp
 import numpy as np
-import optax
 from jax.sharding import Mesh, PartitionSpec as P
 from jax.experimental.shard_map import shard_map
 
 from sanerf_tpu.config import TrainConfig
 from sanerf_tpu.models.fields import NerfModel, Params
 from sanerf_tpu.models.renderer import run_rays
-from sanerf_tpu.ops import entropy_loss
 from sanerf_tpu.train import state as state_lib
 from sanerf_tpu.train.state import TrainState
 
@@ -41,87 +43,106 @@ def make_mesh(n_devices: Optional[int] = None, axis: str = "data") -> Mesh:
     return Mesh(np.asarray(devices), (axis,))
 
 
+def batch_pspec(batch: Dict, axis: str = "data") -> Dict:
+    """PartitionSpec per batch entry: shard the leading (ray) axis; arrays
+    with a broadcast leading dim of 1 (e.g. shared cam_near_far [1, 2])
+    replicate."""
+    return {
+        k: P(axis) if np.ndim(v) >= 1 and v.shape[0] > 1 else P()
+        for k, v in batch.items()
+    }
+
+
 def make_dp_train_step(
     model: NerfModel,
     cfg: TrainConfig,
     mesh: Mesh,
     trainable: Optional[Params] = None,
     axis: str = "data",
+    batch_keys: Tuple[str, ...] = ("rays_o", "rays_d", "images"),
+    shared_keys: Tuple[str, ...] = (),
 ):
-    """Build the sharded stage-1 train step.
+    """Build the sharded stage-1 train step around the canonical step body.
 
-    Batch arrays are sharded on their leading (ray) axis; state is
-    replicated. Gradients ride ICI via `pmean` inside shard_map.
+    `batch_keys` shard on the ray axis; `shared_keys` (e.g. a [1, 2]
+    cam_near_far) replicate. Returns step(state, batch, key,
+    update_proposal=True) like make_rgb_train_step.
     """
     tx = state_lib.make_optimizer(cfg, trainable)
+    spec = {k: P(axis) for k in batch_keys}
+    spec.update({k: P() for k in shared_keys})
 
-    def shard_fn(state: TrainState, batch: Dict[str, jax.Array], key: jax.Array):
-        # decorrelate per-chip randomness
-        key = jax.random.fold_in(key, jax.lax.axis_index(axis))
-        render_key, bg_key = jax.random.split(key)
-        gt = batch["images"]
-        bg = state_lib._bg_color(model, bg_key, gt.shape[0])
-        gt_rgb = gt if gt.shape[-1] == 3 else (
-            gt[..., :3] * gt[..., 3:] + bg * (1.0 - gt[..., 3:])
+    def build(update_proposal: bool):
+        def body(state, batch, key):
+            return state_lib.rgb_step_body(
+                model, cfg, tx, state, batch, key,
+                update_proposal=update_proposal, axis_name=axis)
+
+        mapped = shard_map(
+            body, mesh=mesh,
+            in_specs=(P(), spec, P()),
+            out_specs=(P(), P()),
+            check_rep=False,
         )
+        return jax.jit(mapped, donate_argnums=(0,))
 
-        def loss_fn(params):
-            out = run_rays(
-                model, params, batch["rays_o"], batch["rays_d"], render_key,
-                training=True, perturb=True, bg_color=bg,
-                cam_near_far=batch.get("cam_near_far"),
-            )
-            loss_rgb = jnp.mean((out["image"] - gt_rgb) ** 2)
-            loss = (
-                loss_rgb
-                + cfg.lambda_proposal * out["proposal_loss"]
-                + cfg.lambda_distort * out["distort_loss"]
-            )
-            if cfg.lambda_entropy > 0:
-                loss = loss + cfg.lambda_entropy * entropy_loss(out["weights_sum"])
-            return loss, {"loss": loss, "loss_rgb": loss_rgb}
+    steps = {True: build(True), False: build(False)}
 
-        grads, aux = jax.grad(loss_fn, has_aux=True)(state.params)
-        grads = jax.lax.pmean(grads, axis)  # ICI all-reduce
-        aux = jax.lax.pmean(aux, axis)
-        updates, opt_state = tx.update(grads, state.opt_state, state.params)
-        params = optax.apply_updates(state.params, updates)
-        ema = state_lib._ema_update(state.ema_params, params, cfg.ema_decay)
-        return TrainState(params, ema, opt_state, state.step + 1), aux
+    def step(state: TrainState, batch: Dict[str, jax.Array], key: jax.Array,
+             update_proposal: bool = True):
+        return steps[bool(update_proposal)](state, batch, key)
 
-    batch_spec = {
-        "rays_o": P(axis), "rays_d": P(axis), "images": P(axis),
-    }
-
-    mapped = shard_map(
-        shard_fn,
-        mesh=mesh,
-        in_specs=(P(), batch_spec, P()),
-        out_specs=(P(), P()),
-        check_rep=False,
-    )
-    return jax.jit(mapped, donate_argnums=(0,))
+    return step
 
 
-def make_dp_render(model: NerfModel, mesh: Mesh, axis: str = "data"):
+def make_dp_render(model: NerfModel, mesh: Mesh, axis: str = "data",
+                   with_cam_near_far: bool = False, **render_kwargs):
     """Sharded full-frame inference: rays split over chips, results
     concatenated on the ray axis (replaces the reference's eval all_gather,
     utils.py:1919-1943). Ray count must divide the mesh size — pad frames
-    to a multiple of (chips * tile)."""
+    to a multiple of (chips * tile). With `with_cam_near_far` the returned
+    fn takes a shared [1, 2] near/far (replicated)."""
 
-    def shard_fn(params: Params, rays_o, rays_d):
-        out = run_rays(model, params, rays_o, rays_d)
-        return {"image": out["image"], "depth": out["depth"],
-                "weights_sum": out["weights_sum"]}
+    out_spec = {"image": P(axis), "depth": P(axis), "weights_sum": P(axis)}
+
+    if with_cam_near_far:
+        def shard_fn(params: Params, rays_o, rays_d, cnf):
+            out = run_rays(model, params, rays_o, rays_d,
+                           cam_near_far=cnf, **render_kwargs)
+            return {k: out[k] for k in out_spec}
+
+        in_specs = (P(), P(axis), P(axis), P())
+    else:
+        def shard_fn(params: Params, rays_o, rays_d):
+            out = run_rays(model, params, rays_o, rays_d, **render_kwargs)
+            return {k: out[k] for k in out_spec}
+
+        in_specs = (P(), P(axis), P(axis))
 
     mapped = shard_map(
-        shard_fn,
-        mesh=mesh,
-        in_specs=(P(), P(axis), P(axis)),
-        out_specs={"image": P(axis), "depth": P(axis), "weights_sum": P(axis)},
+        shard_fn, mesh=mesh, in_specs=in_specs, out_specs=out_spec,
         check_rep=False,
     )
     return jax.jit(mapped)
+
+
+def render_frame_dp(model: NerfModel, mesh: Mesh, render_fn, params,
+                    rays_o, rays_d, cam_near_far=None):
+    """Pad rays to the mesh size, run a sharded render, trim. `render_fn`
+    comes from make_dp_render (built once, reused per frame)."""
+    N = rays_o.shape[0]
+    n = int(mesh.devices.size)
+    M = (N + n - 1) // n * n
+    if M != N:
+        rays_o = jnp.concatenate(
+            [rays_o, jnp.broadcast_to(rays_o[-1:], (M - N, 3))], 0)
+        rays_d = jnp.concatenate(
+            [rays_d, jnp.broadcast_to(rays_d[-1:], (M - N, 3))], 0)
+    args = (params, rays_o, rays_d)
+    if cam_near_far is not None:
+        args = args + (cam_near_far,)
+    out = render_fn(*args)
+    return {k: v[:N] for k, v in out.items()}
 
 
 def replicate_state(state: TrainState, mesh: Mesh) -> TrainState:
@@ -131,6 +152,11 @@ def replicate_state(state: TrainState, mesh: Mesh) -> TrainState:
 
 
 def shard_batch(batch: Dict, mesh: Mesh, axis: str = "data") -> Dict:
-    """Place batch arrays sharded on their leading axis."""
-    sharding = jax.sharding.NamedSharding(mesh, P(axis))
-    return {k: jax.device_put(jnp.asarray(v), sharding) for k, v in batch.items()}
+    """Place batch arrays on the mesh: leading (ray) axis sharded, arrays
+    with a broadcast leading dim of 1 replicated."""
+    out = {}
+    for k, v in batch.items():
+        v = jnp.asarray(v)
+        spec = P(axis) if v.ndim >= 1 and v.shape[0] > 1 else P()
+        out[k] = jax.device_put(v, jax.sharding.NamedSharding(mesh, spec))
+    return out

@@ -111,6 +111,80 @@ def _apply_regularizer_grads(
     return grads
 
 
+def rgb_loss_fn(model: NerfModel, cfg: TrainConfig, params: Params,
+                batch: Dict[str, jax.Array], gt_rgb, bg, render_key,
+                update_proposal: bool):
+    """THE canonical stage-1 loss (utils.py:917-931). Both the single-device
+    step and the data-parallel step (parallel/dp.py) call this one function
+    — there is exactly one loss implementation to maintain."""
+    out = run_rays(
+        model, params, batch["rays_o"], batch["rays_d"], render_key,
+        training=True, perturb=True, bg_color=bg,
+        cam_near_far=batch.get("cam_near_far"),
+        update_proposal=update_proposal,
+    )
+    loss_rgb = jnp.mean((out["image"] - gt_rgb) ** 2)
+    loss = loss_rgb
+    if cfg.lambda_proposal > 0:
+        loss = loss + cfg.lambda_proposal * out["proposal_loss"]
+    if cfg.lambda_distort > 0:
+        loss = loss + cfg.lambda_distort * out["distort_loss"]
+    if cfg.lambda_entropy > 0:
+        loss = loss + cfg.lambda_entropy * entropy_loss(out["weights_sum"])
+    aux = {
+        "loss": loss,
+        "loss_rgb": loss_rgb,
+        "proposal_loss": out["proposal_loss"],
+        "distort_loss": out["distort_loss"],
+        "psnr": -10.0 * jnp.log10(loss_rgb + 1e-12),
+    }
+    return loss, aux
+
+
+def rgb_step_body(
+    model: NerfModel,
+    cfg: TrainConfig,
+    tx,
+    state: TrainState,
+    batch: Dict[str, jax.Array],
+    key: jax.Array,
+    update_proposal: bool = True,
+    axis_name: Optional[str] = None,
+):
+    """One stage-1 optimization step (pure; jit/shard_map applied by the
+    callers). With `axis_name` set (inside shard_map) the per-shard
+    randomness decorrelates via fold_in, gradients and metrics pmean over
+    ICI, and the TV/WD regularizer grads use the shared (un-folded) key so
+    every chip applies the identical update."""
+    shard_key = key
+    if axis_name is not None:
+        shard_key = jax.random.fold_in(key, jax.lax.axis_index(axis_name))
+    render_key, bg_key = jax.random.split(shard_key)
+    reg_key = jax.random.fold_in(key, 0x7FFFFFFF)  # shared across shards
+    gt = batch["images"]
+    bg = _bg_color(model, bg_key, gt.shape[0])
+    if gt.shape[-1] == 4:
+        alpha = gt[..., 3:]
+        gt_rgb = gt[..., :3] * alpha + bg * (1.0 - alpha)
+    else:
+        gt_rgb = gt
+
+    def loss_fn(params):
+        return rgb_loss_fn(model, cfg, params, batch, gt_rgb, bg,
+                           render_key, update_proposal)
+
+    grads, aux = jax.grad(loss_fn, has_aux=True)(state.params)
+    if axis_name is not None:
+        grads = jax.lax.pmean(grads, axis_name)
+        aux = jax.lax.pmean(aux, axis_name)
+    grads = _apply_regularizer_grads(model, cfg, state.params, grads, reg_key)
+    updates, opt_state = tx.update(grads, state.opt_state, state.params)
+    params = optax.apply_updates(state.params, updates)
+    ema = _ema_update(state.ema_params, params, cfg.ema_decay)
+    aux["lr"] = lr_schedule(cfg)(state.step)
+    return TrainState(params, ema, opt_state, state.step + 1), aux
+
+
 def make_rgb_train_step(model: NerfModel, cfg: TrainConfig,
                         trainable: Optional[Params] = None):
     """Stage-1 RGB training step (utils.py:872-937), one jitted program per
@@ -126,47 +200,8 @@ def make_rgb_train_step(model: NerfModel, cfg: TrainConfig,
         key: jax.Array,
         update_proposal: bool = True,
     ):
-        render_key, reg_key, bg_key = jax.random.split(key, 3)
-        gt = batch["images"]
-        if gt.shape[-1] == 4:
-            alpha = gt[..., 3:]
-            bg = _bg_color(model, bg_key, gt.shape[0])
-            gt_rgb = gt[..., :3] * alpha + bg * (1.0 - alpha)
-        else:
-            bg = _bg_color(model, bg_key, gt.shape[0])
-            gt_rgb = gt
-
-        def loss_fn(params):
-            out = run_rays(
-                model, params, batch["rays_o"], batch["rays_d"], render_key,
-                training=True, perturb=True, bg_color=bg,
-                cam_near_far=batch.get("cam_near_far"),
-                update_proposal=update_proposal,
-            )
-            loss_rgb = jnp.mean((out["image"] - gt_rgb) ** 2)
-            loss = loss_rgb
-            if cfg.lambda_proposal > 0:
-                loss = loss + cfg.lambda_proposal * out["proposal_loss"]
-            if cfg.lambda_distort > 0:
-                loss = loss + cfg.lambda_distort * out["distort_loss"]
-            if cfg.lambda_entropy > 0:
-                loss = loss + cfg.lambda_entropy * entropy_loss(out["weights_sum"])
-            aux = {
-                "loss": loss,
-                "loss_rgb": loss_rgb,
-                "proposal_loss": out["proposal_loss"],
-                "distort_loss": out["distort_loss"],
-                "psnr": -10.0 * jnp.log10(loss_rgb + 1e-12),
-            }
-            return loss, aux
-
-        grads, aux = jax.grad(loss_fn, has_aux=True)(state.params)
-        grads = _apply_regularizer_grads(model, cfg, state.params, grads, reg_key)
-        updates, opt_state = tx.update(grads, state.opt_state, state.params)
-        params = optax.apply_updates(state.params, updates)
-        ema = _ema_update(state.ema_params, params, cfg.ema_decay)
-        aux["lr"] = lr_schedule(cfg)(state.step)
-        return TrainState(params, ema, opt_state, state.step + 1), aux
+        return rgb_step_body(model, cfg, tx, state, batch, key,
+                             update_proposal)
 
     return step
 

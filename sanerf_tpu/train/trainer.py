@@ -72,6 +72,20 @@ class Trainer:
             trainable=trainable,
         )
         self.trainable = trainable
+        # data-parallel product path: mesh + sharded canonical step
+        # (SURVEY.md §2.3; the reference's DDP scaffolding never activated)
+        self.mesh = None
+        self._dp_step = None
+        self._dp_render = None
+        if cfg.train.n_devices > 1:
+            from sanerf_tpu.parallel import dp
+
+            avail = len(jax.devices())
+            if avail < cfg.train.n_devices:
+                raise ValueError(
+                    f"n_devices={cfg.train.n_devices} but backend has {avail}")
+            self.mesh = dp.make_mesh(cfg.train.n_devices)
+            self.state = dp.replicate_state(self.state, self.mesh)
         self._train_step = state_lib.make_rgb_train_step(model, cfg.train, trainable)
 
         # checkpoint autoload (utils.py:659-679)
@@ -126,6 +140,9 @@ class Trainer:
         num_rays = state_lib.adaptive_num_rays(
             tc, self.cfg.render.num_steps[-1]
         )
+        if self.mesh is not None:
+            n_dev = self.mesh.devices.size
+            num_rays = max(n_dev, (num_rays + n_dev - 1) // n_dev * n_dev)
         sampler = train_dataset
         native = None
         if tc.use_native_loader and getattr(train_dataset, "images", None) is not None                 and getattr(train_dataset, "cam_near_far", None) is None:
@@ -153,12 +170,21 @@ class Trainer:
             with jax.profiler.TraceAnnotation(f"train_epoch_{self.epoch}"):
                 for _ in range(steps_per_epoch):
                     self.global_step += 1
-                    batch = sampler.collate_train(self.rng, num_rays)
+                    batch = _device_batch(sampler.collate_train(self.rng, num_rays))
                     up = state_lib.update_proposal_now(tc, self.global_step)
-                    self.state, aux = self._train_step(
-                        self.state, _device_batch(batch), self._next_key(),
-                        update_proposal=up,
-                    )
+                    if self.mesh is not None:
+                        from sanerf_tpu.parallel import dp
+
+                        step = self._get_dp_step(batch)
+                        self.state, aux = step(
+                            self.state, dp.shard_batch(batch, self.mesh),
+                            self._next_key(), update_proposal=up,
+                        )
+                    else:
+                        self.state, aux = self._train_step(
+                            self.state, batch, self._next_key(),
+                            update_proposal=up,
+                        )
                     last_aux = aux
             # fetch once per epoch (keeps the device pipeline full)
             aux = {k: float(v) for k, v in last_aux.items()}
@@ -179,11 +205,50 @@ class Trainer:
             native.close()
         self.save_checkpoint(full=True)
 
+    def _get_dp_step(self, batch: Dict):
+        """Sharded train step, rebuilt if the batch structure changes
+        (sharding specs depend on which keys are per-ray vs shared)."""
+        from sanerf_tpu.parallel import dp
+
+        batch_keys = tuple(sorted(
+            k for k, v in batch.items()
+            if hasattr(v, "shape") and v.ndim >= 1 and v.shape[0] > 1))
+        shared = tuple(sorted(k for k in batch if k not in batch_keys))
+        sig = (batch_keys, shared)
+        if self._dp_step is None or self._dp_step[0] != sig:
+            step = dp.make_dp_train_step(
+                self.model, self.cfg.train, self.mesh, self.trainable,
+                batch_keys=batch_keys, shared_keys=shared,
+            )
+            self._dp_step = (sig, step)
+        return self._dp_step[1]
+
     # -- evaluation ---------------------------------------------------------
 
     def eval_params(self):
         """EMA weights for eval when available (utils.py:1896-1900)."""
         return self.state.ema_params
+
+    def _render_eval_frame(self, params, rays_o, rays_d, cam_near_far=None,
+                           **kw):
+        """Eval/test frame render: sharded over the mesh when one exists
+        (utils.py:1919-1943's all_gather, done as a shard_map), otherwise
+        fixed-chunk staged inference."""
+        simple = not kw.get("return_mask") and not kw.get("return_feats")
+        shared_cnf = cam_near_far is None or cam_near_far.shape[0] == 1
+        if self.mesh is not None and simple and shared_cnf:
+            from sanerf_tpu.parallel import dp
+
+            key = cam_near_far is not None
+            if self._dp_render is None or self._dp_render[0] != key:
+                self._dp_render = (key, dp.make_dp_render(
+                    self.model, self.mesh, with_cam_near_far=key))
+            return dp.render_frame_dp(
+                self.model, self.mesh, self._dp_render[1], params,
+                rays_o, rays_d, cam_near_far=cam_near_far)
+        return renderer.render_staged(
+            self.model, params, rays_o, rays_d,
+            cam_near_far=cam_near_far, **kw)
 
     def evaluate_one_epoch(self, dataset, save_artifacts: bool = True) -> Dict:
         for m in self.metrics:
@@ -193,8 +258,8 @@ class Trainer:
         os.makedirs(out_dir, exist_ok=True)
         for idx in range(len(dataset)):
             frame = dataset.frame(idx)
-            out = renderer.render_staged(
-                self.model, params, jax.numpy.asarray(frame["rays_o"]),
+            out = self._render_eval_frame(
+                params, jax.numpy.asarray(frame["rays_o"]),
                 jax.numpy.asarray(frame["rays_d"]),
                 cam_near_far=_maybe_device(frame.get("cam_near_far")),
             )
@@ -233,8 +298,8 @@ class Trainer:
         mc = self.cfg.model
         for idx in range(len(dataset)):
             frame = dataset.frame(idx)
-            out = renderer.render_staged(
-                self.model, params, jax.numpy.asarray(frame["rays_o"]),
+            out = self._render_eval_frame(
+                params, jax.numpy.asarray(frame["rays_o"]),
                 jax.numpy.asarray(frame["rays_d"]),
                 cam_near_far=_maybe_device(frame.get("cam_near_far")),
                 return_mask=mc.with_mask,
@@ -294,6 +359,12 @@ class Trainer:
         self.log(f"[ckpt] saved {path}")
 
     def load_checkpoint(self, mode: str = "latest", model_only: bool = False):
+        """Checkpoint restore by mode (utils.py:661-679, 2102-2166).
+
+        `latest_model` (or model_only=True) restores weights/EMA only —
+        optimizer state, step and epoch counters start fresh, matching the
+        reference's early return in load_checkpoint (utils.py:2130)."""
+        model_only = model_only or mode == "latest_model"
         restored = self.ckpt_mgr.load(
             mode, self.state.params, self.state.opt_state, model_only=model_only
         )
@@ -302,6 +373,11 @@ class Trainer:
                 self.log(f"[ckpt] {mode} not found; starting fresh")
             return False
         params, ema, opt_state, meta = restored
+        if model_only:
+            self.state = self.state._replace(params=params, ema_params=ema)
+            self._rereplicate()
+            self.log(f"[ckpt] restored model weights only (mode={mode})")
+            return True
         self.state = state_lib.TrainState(
             params=params,
             ema_params=ema,
@@ -312,8 +388,16 @@ class Trainer:
         self.epoch = int(meta.get("stats", {}).get("epoch", 0))
         if meta.get("stats"):
             self.stats.update(meta["stats"])
+        self._rereplicate()
         self.log(f"[ckpt] restored step {self.global_step} (mode={mode})")
         return True
+
+    def _rereplicate(self):
+        """Keep the train state replicated across the mesh after a restore."""
+        if self.mesh is not None:
+            from sanerf_tpu.parallel import dp
+
+            self.state = dp.replicate_state(self.state, self.mesh)
 
 
 def _device_batch(batch: Dict) -> Dict:

@@ -109,3 +109,69 @@ def test_multihost_helpers_single_process():
     idx = multihost.process_shard_indices(10)
     np.testing.assert_array_equal(idx, np.arange(10))
     assert multihost.local_batch_size(64) == 64
+
+
+def test_trainer_dp_product_path(tmp_path):
+    """VERDICT item 3: `--n_devices 8` trains through the product Trainer on
+    the fake mesh — sharded canonical step, sharded eval render, checkpoint
+    round-trip with re-replication (utils.py:1919-1943 replaced)."""
+    import dataclasses as dc
+
+    from sanerf_tpu.config import Config
+    from sanerf_tpu.train.trainer import Trainer
+
+    tc = dc.replace(TC, iters=40, num_rays=512, save_cnt=1, eval_cnt=1,
+                    n_devices=8, use_native_loader=False)
+    rc = dc.replace(RC, max_ray_batch=2048)
+    cfg = Config(workspace=str(tmp_path / "ws"), render=rc, model=MC, train=tc)
+    model = fields.make_model(MC, RC)
+    ds = SyntheticSphereDataset(H=32, W=32, n_views=6)
+
+    tr = Trainer("dp", cfg, model, workspace=cfg.workspace,
+                 use_checkpoint="scratch")
+    assert tr.mesh is not None and tr.mesh.devices.size == 8
+    tr.train(ds, valid_dataset=None, max_epoch=2, steps_per_epoch=10)
+    assert tr.global_step == 20
+    # state stayed replicated through training
+    leaf = jax.tree.leaves(tr.state.params)[0]
+    assert leaf.sharding.is_fully_replicated
+
+    # sharded eval render path (frame size not divisible by 8 after pad)
+    metrics = tr.evaluate_one_epoch(ds, save_artifacts=False)
+    assert np.isfinite(metrics["PSNRMeter"])
+
+    # checkpoint resume re-replicates onto the mesh
+    tr.save_checkpoint(full=True)
+    tr2 = Trainer("dp", cfg, model, workspace=cfg.workspace,
+                  use_checkpoint="latest")
+    assert tr2.global_step == tr.global_step
+    leaf2 = jax.tree.leaves(tr2.state.params)[0]
+    assert leaf2.sharding.is_fully_replicated
+    np.testing.assert_allclose(np.asarray(leaf2), np.asarray(leaf))
+
+
+def test_trainer_dp_matches_single_device_loss(tmp_path):
+    """Same data, same number of steps: the DP trainer's loss lands in the
+    same ballpark as single-device (not bit-identical — per-shard render
+    keys decorrelate on purpose; grad math itself is covered exactly by
+    test_dp_grad_equivalence)."""
+    import dataclasses as dc
+
+    from sanerf_tpu.config import Config
+    from sanerf_tpu.train.trainer import Trainer
+
+    ds = SyntheticSphereDataset(H=32, W=32, n_views=6)
+    rc = dc.replace(RC, max_ray_batch=2048)
+    final = {}
+    for n_dev in (1, 8):
+        tc = dc.replace(TC, iters=60, num_rays=512, save_cnt=100, eval_cnt=100,
+                        n_devices=n_dev, use_native_loader=False)
+        cfg = Config(workspace=str(tmp_path / f"ws{n_dev}"), render=rc,
+                     model=MC, train=tc)
+        model = fields.make_model(MC, RC)
+        tr = Trainer("dp", cfg, model, workspace=cfg.workspace,
+                     use_checkpoint="scratch")
+        tr.train(ds, valid_dataset=None, max_epoch=1, steps_per_epoch=60)
+        final[n_dev] = tr.evaluate_one_epoch(ds, save_artifacts=False)["PSNRMeter"]
+    assert np.isfinite(final[1]) and np.isfinite(final[8])
+    assert abs(final[1] - final[8]) < 3.0, final
