@@ -54,12 +54,19 @@ def init_linear(key, d_in: int, d_out: int, bias: bool) -> Params:
     return p
 
 
-def apply_linear(p: Params, x: jax.Array) -> jax.Array:
+def apply_linear(p: Params, x: jax.Array, hidden: bool = False) -> jax.Array:
     """Matmul in the weight dtype (bf16 inference casts activations down so
-    the MXU runs true bf16) with fp32 accumulation."""
-    y = jnp.dot(x.astype(p["w"].dtype), p["w"], preferred_element_type=jnp.float32)
+    the MXU runs true bf16) with fp32 accumulation.
+
+    `hidden=True` emits the output in the weight dtype too: at bf16
+    inference the inter-layer activations ([N, 256] tensors that dominate
+    the frame's HBM traffic — profiled at 611 GB/s, 108 ms/frame in f32)
+    halve. The MXU still accumulates in f32 internally; only the stored
+    activation rounds. Final layers keep f32 outputs (sigma/color heads)."""
+    out_dt = p["w"].dtype if hidden else jnp.float32
+    y = jnp.dot(x.astype(p["w"].dtype), p["w"], preferred_element_type=out_dt)
     if "b" in p:
-        y = y + p["b"]
+        y = (y + p["b"]).astype(out_dt)
     return y
 
 
@@ -97,7 +104,7 @@ def apply_mlp(
     inter: List[jax.Array] = []
     n = len(layers)
     for l, p in enumerate(layers):
-        x = apply_linear(p, x)
+        x = apply_linear(p, x, hidden=l != n - 1)
         if l != n - 1:
             x = jax.nn.relu(x)
         if save_intermediates:
@@ -142,8 +149,8 @@ def apply_skip_mlp(
     n = len(layers)
     for l, p in enumerate(layers):
         if l in skip_layers:
-            x = jnp.concatenate([x, x_in], axis=-1)
-        x = apply_linear(p, x)
+            x = jnp.concatenate([x, x_in.astype(x.dtype)], axis=-1)
+        x = apply_linear(p, x, hidden=l != n - 1)
         if l != n - 1:
             x = jax.nn.leaky_relu(x, negative_slope=0.01)
         if save_intermediates:
@@ -439,7 +446,8 @@ def common_forward(
     """encode -> grid_mlp -> (sigma, geo_feat, grid_output)
     (network.py:221-229)."""
     if model.is_mlp_field:
-        grid_output = freq_encode(x * (jnp.pi / model.bound), model.cfg.mlp_enc_freqs)
+        grid_output = freq_encode(x * (jnp.pi / model.bound), model.cfg.mlp_enc_freqs,
+                                  out_dtype=params["grid_mlp"][0]["w"].dtype)
         f, inter = apply_skip_mlp(
             params["grid_mlp"], grid_output,
             (model.cfg.mlp_field_depth // 2,), save_intermediates,
@@ -485,7 +493,8 @@ def density(model: NerfModel, params: Params, x: jax.Array, proposal: int = -1) 
     if 0 <= proposal < n_props:
         p = params["prop"][proposal]
         if model.is_mlp_field:
-            h = freq_encode(x * (jnp.pi / model.bound), model.cfg.mlp_prop_enc_freqs)
+            h = freq_encode(x * (jnp.pi / model.bound), model.cfg.mlp_prop_enc_freqs,
+                            out_dtype=p["mlp"][0]["w"].dtype)
         else:
             h = hashgrid.hash_encode(
                 x, p["grid"], model.prop_specs[proposal], model.bound
@@ -500,7 +509,8 @@ def sam_features(model: NerfModel, params: Params, x: jax.Array) -> jax.Array:
     """Per-point SAM field feature (s_grid lookup, renderer.py:302-303; MLP
     field in the flagship family)."""
     if model.is_mlp_field:
-        h = freq_encode(x * (jnp.pi / model.bound), model.cfg.mlp_enc_freqs)
+        h = freq_encode(x * (jnp.pi / model.bound), model.cfg.mlp_enc_freqs,
+                        out_dtype=params["s_field_mlp"][0]["w"].dtype)
         out, _ = apply_mlp(params["s_field_mlp"], h)
         return out
     return hashgrid.hash_encode(x, params["s_grid"], model.s_grid_spec, model.bound)

@@ -132,12 +132,16 @@ def _get_rel_pos(q_size: int, k_size: int, rel_pos: jax.Array) -> jax.Array:
     the (q, k) size pair — matches SAM's get_rel_pos."""
     max_rel_dist = 2 * max(q_size, k_size) - 1
     if rel_pos.shape[0] != max_rel_dist:
-        # linear interpolation to the needed number of relative positions
-        x = jnp.linspace(0.0, 1.0, max_rel_dist)
-        xp = jnp.linspace(0.0, 1.0, rel_pos.shape[0])
-        rel_pos = jax.vmap(lambda col: jnp.interp(x, xp, col), in_axes=1, out_axes=1)(
-            rel_pos
-        )
+        # linear resize to the needed number of relative positions, matching
+        # torch F.interpolate(mode="linear") [align_corners=False]: sample
+        # centers map as src = (i + 0.5) * L_in/L_out - 0.5, edge-clamped
+        L_in = rel_pos.shape[0]
+        src = (jnp.arange(max_rel_dist) + 0.5) * (L_in / max_rel_dist) - 0.5
+        src = jnp.clip(src, 0.0, L_in - 1)
+        lo = jnp.floor(src).astype(jnp.int32)
+        hi = jnp.minimum(lo + 1, L_in - 1)
+        frac = (src - lo)[:, None]
+        rel_pos = rel_pos[lo] * (1.0 - frac) + rel_pos[hi] * frac
     q_coords = jnp.arange(q_size)[:, None] * max(k_size / q_size, 1.0)
     k_coords = jnp.arange(k_size)[None, :] * max(q_size / k_size, 1.0)
     rel = (q_coords - k_coords) + (k_size - 1) * max(q_size / k_size, 1.0)

@@ -125,37 +125,24 @@ def sample_pdf(
     if key is not None:
         u = u + (jax.random.uniform(key, (N, T)) - 0.5) / T
 
-    # Fused masked interpolation instead of searchsorted + 4x take_along_axis:
-    # TPU gathers run ~100M rows/s while a fused [N, T, K] elementwise+reduce
-    # runs at VPU speed — for the small static K here (<=129) the dense pass
-    # is ~50x faster and fuses into one kernel with no temporaries.
-    #
-    # For each (sample t, interval k): if cdf[k] <= u < cdf[k+1], contribute
-    # bins[k] + frac * (bins[k+1] - bins[k]).
-    c_lo = cdf[..., None, :-1]  # [N, 1, T0]
-    c_hi = cdf[..., None, 1:]
-    b_lo = bins[..., None, :-1]
-    b_hi = bins[..., None, 1:]
-    uu = u[..., :, None]  # [N, T, 1]
-
-    # interval selection mirrors searchsorted(right) + clamp semantics:
-    # u < cdf[0] -> first interval; u >= cdf[-1] -> last interval.
-    # Half-open intervals over a sorted cdf partition the line, so at most
-    # one interval matches (zero-width intervals match nothing) — no dedup
-    # pass needed.
-    in_int = (c_lo <= uu) & (uu < c_hi)
-    K = T0
-    first = jnp.arange(K) == 0
-    last = jnp.arange(K) == K - 1
-    in_int = in_int | (first & (uu < cdf[..., None, :1]))
-    in_int = in_int | (last & (uu >= cdf[..., None, -1:]))
-    sel = in_int.astype(jnp.float32)
-
-    denom = c_hi - c_lo
-    frac = jnp.clip((uu - c_lo) / jnp.where(denom == 0, 1.0, denom), 0.0, 1.0)
-    frac = jnp.where(denom == 0, 0.0, frac)
-    vals = b_lo + frac * (b_hi - b_lo)
-    return jnp.sum(sel * vals, axis=-1)
+    # Gather-free piecewise-linear inverse CDF (replaces searchsorted + 4x
+    # take_along_axis — TPU gathers run ~100M rows/s, a fused dense pass at
+    # VPU speed). For a sorted CDF, F^-1(u) telescopes into the affine-clamp
+    # identity
+    #     F^-1(u) = bins[0] + sum_k db_k * clamp((u - c_k) / dc_k, 0, 1),
+    # equal to selecting the containing interval and lerping (zero-width
+    # intervals contribute their full db iff u lies past them, which is the
+    # same telescoped base). One [N, T, T0] intermediate instead of the
+    # previous masked-interp form's six — the fusion this op lives in is
+    # HBM-bound at frame scale.
+    c_lo = cdf[..., :-1]  # [N, T0]
+    dc = cdf[..., 1:] - c_lo
+    recip = 1.0 / jnp.maximum(dc, 1e-12)
+    db = bins[..., 1:] - bins[..., :-1]
+    frac = jnp.clip(
+        (u[..., :, None] - c_lo[..., None, :]) * recip[..., None, :], 0.0, 1.0
+    )  # [N, T, T0]
+    return bins[..., 0:1] + jnp.sum(frac * db[..., None, :], axis=-1)
 
 
 def uniform_bins(
