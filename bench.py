@@ -34,7 +34,7 @@ def main():
     # flagship config: stage-2 SAM model at reference scale, TPU-native
     # MLP field family (Fourier features + MXU-shaped MLPs)
     rc = RenderConfig(num_steps=(128, 64, 32), bound=128.0, contract=True,
-                      max_ray_batch=65536)
+                      max_ray_batch=512 * 512)  # single-chunk frame
     mc = ModelConfig(field_type="mlp", with_sam=True, sam_use_view_direction=True)
     model = fields.make_model(mc, rc)
     params = fields.init_params(model, jax.random.key(0))
@@ -70,28 +70,17 @@ def main():
     click = np.array([[256.0, 256.0]])
     click_label = np.ones(1, np.int32)
 
-    from sanerf_tpu.models.sam.predictor import decode_fused
+    from sanerf_tpu.apps.frame_pipeline import FramePipeline
 
-    click_dev = jnp.asarray(click)[None]
-    labels_dev = jnp.asarray(click_label)[None]
-    nh = int(round(h * 64 / max(h, w))) * 16  # virtual input size
-
-    to_u8 = jax.jit(lambda x: (jnp.clip(x, 0, 1) * 255).astype(jnp.uint8))
+    pipe = FramePipeline(model, params, sam_cfg, sam_params, H, W, h, w)
 
     def frame():
-        out = renderer.render_frame(model, params, ro, rd,
-                                    chunk=rc.max_ray_batch)
-        feat = renderer.render_rays(model, params, ro_lr, rd_lr, return_feats=True)
-        fv = feat["samvit"].reshape(h, w, -1)  # stays on device
-        masks, iou = decode_fused(
-            sam_cfg, sam_params, fv, click_dev, labels_dev,
-            feat_hw=(h, w), out_hw=(H, W), input_hw=(nh, nh),
-        )
-        # materialize the display frame host-side like the GUI would —
-        # as uint8 (the texture format), converted on device
-        img = np.asarray(to_u8(out["image"]))
-        m = np.asarray(masks)
-        return img, m
+        # one dispatch + one host fetch; double-buffered (frame N+1
+        # dispatches before frame N's pixels arrive) — the steady-state
+        # cadence a real GUI loop runs at
+        img, depth, mask = pipe.render(ro, rd, ro_lr, rd_lr,
+                                       clicks=click, labels=click_label)
+        return img, mask
 
     # warm-up / compile
     t0 = time.time()

@@ -34,6 +34,9 @@ class RenderConfig:
     # rays per chunk in staged inference (main.py:86-87)
     max_ray_batch: int = 4096 * 4
     density_thresh: float = 10.0  # main.py:88-89
+    # inference-only: run the MLP-family field/prop chains as transposed
+    # fused Pallas kernels (ops/fused_mlp_t.py) — activations stay in VMEM
+    use_fused_mlp: bool = True
 
     @property
     def grid_bound(self) -> float:

@@ -29,6 +29,7 @@ from sanerf_tpu.ops import (
     composite,
     compute_weights,
     contract,
+    contract_T,
     distort_loss,
     near_far_from_aabb,
     proposal_loss,
@@ -99,6 +100,9 @@ def run_rays(
     results: Dict[str, jax.Array] = {}
     all_bins, all_weights = [], []
     save_inter = mc.with_mask and mc.mask_mlp_type == "adaptive"
+    # inference fast path: transposed fused encode+MLP kernels (no VJP)
+    fast = (model.is_mlp_field and not training and not save_inter
+            and cfg.use_fused_mlp)
 
     bins = None
     weights = None
@@ -120,21 +124,36 @@ def run_rays(
         # GEMM-friendly {1,0} layouts end to end, whereas flattening a
         # [N, T, C] intermediate later costs a physical transpose on TPU
         # (profiled at ~30% of a frame)
-        xyzs = (
-            rays_o[:, None, :] + rays_d[:, None, :] * rays_t[..., None]
-        ).reshape(N * T, 3)
-        if cfg.contract:
-            xyzs = contract(xyzs)
+        xyzs = xyzs_T = None
+        if fast:
+            # dims-first build for the fused kernels: no [N*T, 3] tensor or
+            # physical transpose on the hot path (the [P, 3] build + pad
+            # profiled at ~20 ms/frame of concat + dynamic-update-slice)
+            xyzs_T = (
+                rays_o.T[:, :, None] + rays_d.T[:, :, None] * rays_t[None]
+            ).reshape(3, N * T)
+            if cfg.contract:
+                xyzs_T = contract_T(xyzs_T)
+        if not fast or (last and (mc.with_sam or return_mask)):
+            # point-major coords for the XLA field path and the SAM/mask
+            # feature lookups (XLA drops this when nothing consumes it)
+            xyzs = (
+                rays_o[:, None, :] + rays_d[:, None, :] * rays_t[..., None]
+            ).reshape(N * T, 3)
+            if cfg.contract:
+                xyzs = contract(xyzs)
 
         if not last:
-            sigmas = fields.density(model, params, xyzs, proposal=level)
+            sigmas = fields.density(model, params, xyzs, proposal=level,
+                                    fast=fast, x_T=xyzs_T)
             sigmas = sigmas.reshape(N, T)
             if not update_proposal:
                 sigmas = jax.lax.stop_gradient(sigmas)
         else:
             dirs = rays_d / jnp.linalg.norm(rays_d, axis=-1, keepdims=True)
             dirs = jnp.broadcast_to(dirs[:, None, :], (N, T, 3)).reshape(N * T, 3)
-            outputs = fields.forward(model, params, xyzs, dirs, save_inter)
+            outputs = fields.forward(model, params, xyzs, dirs, save_inter,
+                                     fast=fast, x_T=xyzs_T)
             sigmas = outputs["sigma"].reshape(N, T)
             if mc.with_sam:
                 features = fields.sam_features(model, params, xyzs)
@@ -336,6 +355,11 @@ def render_frame(
             keep.add("instance_mask_logits")
         return {k: v for k, v in out.items() if k in keep}
 
+    if n_chunks == 1:
+        # single-chunk frames skip lax.map: the loop's dynamic-update-slice
+        # plumbing alone profiled at ~25-37 ms/frame
+        out = body((ro[0], rd[0]))
+        return {k: v[:N] for k, v in out.items()}
     out = jax.lax.map(body, (ro, rd))
     return {k: v.reshape(n_chunks * chunk, *v.shape[2:])[:N] for k, v in out.items()}
 

@@ -26,6 +26,7 @@ from sanerf_tpu.ops.losses import (
 )
 from sanerf_tpu.ops.sampling import (
     contract,
+    contract_T,
     near_far_from_aabb,
     sample_pdf,
     searchsorted_right,

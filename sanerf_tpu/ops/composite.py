@@ -14,6 +14,19 @@ import jax
 import jax.numpy as jnp
 
 
+def cumsum_lanes(x: jax.Array, strict: bool = False) -> jax.Array:
+    """Cumulative sum over the trailing (lane) axis via a triangular-ones
+    matmul on the MXU. XLA lowers jnp.cumsum to reduce_window, profiled at
+    ~50 GB/s (16 ms/frame); as an [N, T] @ [T, T] HIGHEST-precision dot the
+    same result costs ~0.3 ms for T<=129. Differentiable (it's a dot)."""
+    T = x.shape[-1]
+    i = jnp.arange(T)[:, None]
+    j = jnp.arange(T)[None, :]
+    m = ((i < j) if strict else (i <= j)).astype(x.dtype)
+    return jnp.dot(x, m, preferred_element_type=x.dtype,
+                   precision=jax.lax.Precision.HIGHEST)
+
+
 def compute_weights(
     real_bins: jax.Array,
     sigmas: jax.Array,
@@ -32,11 +45,15 @@ def compute_weights(
     deltas = real_bins[..., 1:] - real_bins[..., :-1]  # [N, T]
     ds = deltas * sigmas
     if opaque_background:
-        ds = jnp.concatenate([ds[..., :-1], jnp.full_like(ds[..., -1:], jnp.inf)], axis=-1)
-    alphas = 1.0 - jnp.exp(-ds)
-    trans = jnp.cumsum(ds[..., :-1], axis=-1)
-    trans = jnp.concatenate([jnp.zeros_like(trans[..., :1]), trans], axis=-1)
-    trans = jnp.exp(-trans)
+        # alphas see an opaque last sample; the transmittance cumsum keeps
+        # the FINITE ds (the strict-triangular matmul would turn inf into
+        # inf*0 = NaN in masked columns, and the last column never needs it)
+        last = jnp.arange(ds.shape[-1]) == ds.shape[-1] - 1
+        ds_a = jnp.where(last, jnp.inf, ds)
+    else:
+        ds_a = ds
+    alphas = 1.0 - jnp.exp(-ds_a)
+    trans = jnp.exp(-cumsum_lanes(ds, strict=True))
     weights = alphas * trans
     return jnp.nan_to_num(weights)
 

@@ -17,6 +17,8 @@ from typing import Optional, Tuple
 import jax
 import jax.numpy as jnp
 
+from sanerf_tpu.ops.composite import cumsum_lanes
+
 
 def contract(x: jax.Array) -> jax.Array:
     """mip-NeRF-360 L-inf contraction (renderer.py:60-69).
@@ -29,6 +31,19 @@ def contract(x: jax.Array) -> jax.Array:
     mag = jnp.max(ax, axis=-1, keepdims=True)
     idx = jnp.argmax(ax, axis=-1)
     onehot = jax.nn.one_hot(idx, x.shape[-1], dtype=bool)
+    safe_mag = jnp.maximum(mag, 1e-12)
+    scale = jnp.where(onehot, (2.0 - 1.0 / safe_mag) / safe_mag, 1.0 / safe_mag)
+    return jnp.where(mag < 1.0, x, x * scale)
+
+
+def contract_T(x: jax.Array) -> jax.Array:
+    """contract() for dims-first [3, N] coordinates (the fused-kernel feed
+    layout — built transposed so no [N*T, 3] tensor or physical transpose
+    ever materializes). Same argmax-first tie-break as contract()."""
+    ax = jnp.abs(x)
+    mag = jnp.max(ax, axis=0, keepdims=True)
+    idx = jnp.argmax(ax, axis=0)
+    onehot = jnp.arange(x.shape[0])[:, None] == idx[None, :]
     safe_mag = jnp.maximum(mag, 1e-12)
     scale = jnp.where(onehot, (2.0 - 1.0 / safe_mag) / safe_mag, 1.0 / safe_mag)
     return jnp.where(mag < 1.0, x, x * scale)
@@ -117,7 +132,7 @@ def sample_pdf(
     N, T0 = weights.shape
     weights = weights + 0.01  # prevent NaNs (renderer.py:91)
     pdf = weights / jnp.sum(weights, axis=-1, keepdims=True)
-    cdf = jnp.minimum(jnp.cumsum(pdf, axis=-1), 1.0)
+    cdf = jnp.minimum(cumsum_lanes(pdf), 1.0)
     cdf = jnp.concatenate([jnp.zeros_like(cdf[..., :1]), cdf], axis=-1)  # [N, T0+1]
 
     u = jnp.linspace(0.5 / T, 1.0 - 0.5 / T, T, dtype=jnp.float32)

@@ -244,3 +244,54 @@ def test_encoder_factory(rng):
         inp = jnp.asarray(d) if name == "sh" else x
         out = apply(params, inp, bound=1.0)
         assert out.shape == (16, dim), name
+
+
+def test_frame_pipeline_double_buffered(rng):
+    """FramePipeline: one-program frame (RGB + feature + decode + overlay),
+    pipelined across calls (frame N returns on dispatch N+1)."""
+    import jax.numpy as jnp
+
+    from sanerf_tpu.apps.frame_pipeline import FramePipeline
+    from sanerf_tpu.config import ModelConfig, RenderConfig
+    from sanerf_tpu.data.rays import full_frame_rays
+    from sanerf_tpu.models import fields
+    from sanerf_tpu.models.sam import predictor as sam_predictor_mod
+
+    from tests.test_sam import TINY_SAM
+
+    rc = RenderConfig(num_steps=(8, 4), bound=4.0, contract=True)
+    mc = ModelConfig(field_type="mlp", with_sam=True,
+                     sam_use_view_direction=True, sam_feat_dim=32,
+                     mlp_enc_freqs=4, mlp_field_width=32, mlp_field_depth=4,
+                     mlp_prop_enc_freqs=3, mlp_prop_width=16, mlp_prop_depth=2,
+                     prop_resolutions=(32,))
+    model = fields.make_model(mc, rc)
+    params = fields.init_params(model, jax.random.key(0))
+    sam_params = sam_predictor_mod.init_params(TINY_SAM, jax.random.key(1))
+
+    H = W = 16
+    h = w = 8
+    f = 0.5 * H
+    intr = jnp.asarray([f, f, W / 2, H / 2], jnp.float32)
+    intr_lr = jnp.asarray([f * h / H, f * w / W, h / 2, w / 2], jnp.float32)
+    pose = jnp.asarray(np.array([[1, 0, 0, 0], [0, 1, 0, 0],
+                                 [0, 0, 1, 2.0], [0, 0, 0, 1]], np.float32))
+    ro, rd = full_frame_rays(pose, intr, H, W)
+    ro_lr, rd_lr = full_frame_rays(pose, intr_lr, h, w)
+
+    pipe = FramePipeline(model, params, TINY_SAM, sam_params, H, W, h, w)
+    img1, depth1, mask1 = pipe.render(ro, rd, ro_lr, rd_lr,
+                                      clicks=[[8.0, 8.0]], labels=[1])
+    assert img1.shape == (H, W, 3) and img1.dtype == np.uint8
+    assert depth1.shape == (H, W)
+    assert mask1.shape == (H, W) and mask1.dtype == bool
+    # second call returns the PREVIOUS dispatch's frame; flush drains it
+    img2, _, _ = pipe.render(ro, rd, ro_lr, rd_lr, clicks=None, labels=None)
+    assert img2.shape == (H, W, 3)
+    out = pipe.flush()
+    assert out is not None
+    # no clicks -> mask gated off everywhere
+    assert not out[2].any()
+    # sync render has no pipeline latency
+    img3, _, _ = pipe.render_sync(ro, rd, ro_lr, rd_lr)
+    assert np.isfinite(depth1).all()
