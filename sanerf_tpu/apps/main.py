@@ -59,6 +59,11 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--iters", type=int, default=20000)
     p.add_argument("--lr", type=float, default=1e-2)
     p.add_argument("--num_steps", type=int, nargs="*", default=[128, 64, 32])
+    p.add_argument("--infer_num_steps", type=int, nargs="*", default=None,
+                   help="inference-only sample counts for --test/--gui "
+                   "(e.g. 64 32 32). The proposal hierarchy needs fewer "
+                   "levels at inference than training; quality-gated on "
+                   "trained models (see docs)")
     p.add_argument("--contract", action=argparse.BooleanOptionalAction, default=True)
     p.add_argument("--background", type=str, default="last_sample",
                    choices=["white", "random", "last_sample"])
@@ -135,8 +140,11 @@ def build_parser() -> argparse.ArgumentParser:
 
 
 def config_from_args(args) -> Config:
+    num_steps = tuple(args.num_steps)
+    if args.test and args.infer_num_steps:
+        num_steps = tuple(args.infer_num_steps)
     render = RenderConfig(
-        num_steps=tuple(args.num_steps), bound=args.bound, contract=args.contract,
+        num_steps=num_steps, bound=args.bound, contract=args.contract,
         min_near=args.min_near, background=args.background,
         max_ray_batch=args.max_ray_batch,
     )
@@ -206,6 +214,7 @@ def config_from_args(args) -> Config:
         init_ckpt=args.init_ckpt, test=args.test, gui=args.gui,
         render_mask_type=args.render_mask_type,
         render_mask_instance_id=args.render_mask_instance_id,
+        use_wandb=args.use_wandb,
         render=render, model=model, train=train, sam=sam, mask=mask, data=data,
     )
 
@@ -250,6 +259,8 @@ def run(cfg: Config, write_video: bool = False, return_extra: bool = False):
     if cfg.test:
         trainer = Trainer("ngp", cfg, model, workspace=cfg.workspace,
                           use_checkpoint=cfg.ckpt)
+        if cfg.use_wandb:
+            trainer.enable_wandb()
         if cfg.gui:
             from sanerf_tpu.apps.gui import launch_gui
 
@@ -274,6 +285,8 @@ def run(cfg: Config, write_video: bool = False, return_extra: bool = False):
         trainer = MaskTrainer("ngp", cfg, model, workspace=cfg.workspace,
                               use_checkpoint=cfg.ckpt, trainable=trainable,
                               init_params=init_params)
+        if cfg.use_wandb:
+            trainer.enable_wandb()
         trainer.train(train_ds, valid_ds, max_epoch)
         trainer.evaluate_mask(valid_ds)
     elif cfg.model.with_sam:
@@ -281,10 +294,14 @@ def run(cfg: Config, write_video: bool = False, return_extra: bool = False):
                                     workspace=cfg.workspace,
                                     use_checkpoint=cfg.ckpt, trainable=trainable,
                                     init_params=init_params)
+        if cfg.use_wandb:
+            trainer.enable_wandb()
         trainer.train(train_ds, valid_ds, max_epoch)
     else:
         trainer = Trainer("ngp", cfg, model, workspace=cfg.workspace,
                           use_checkpoint=cfg.ckpt)
+        if cfg.use_wandb:
+            trainer.enable_wandb()
         trainer.train(train_ds, valid_ds, max_epoch)
         trainer.metrics = [PSNRMeter(), SSIMMeter(), LPIPSMeter()]
         trainer.evaluate_one_epoch(valid_ds)

@@ -245,6 +245,7 @@ class Config:
     # mask render visualization (main.py:193-197)
     render_mask_type: str = "heatmap"  # mask | composition | heatmap
     render_mask_instance_id: int = 0
+    use_wandb: bool = False  # opt-in wandb logging (main.py:320-321)
     render: RenderConfig = field(default_factory=RenderConfig)
     model: ModelConfig = field(default_factory=ModelConfig)
     train: TrainConfig = field(default_factory=TrainConfig)

@@ -67,9 +67,13 @@ def make_sam_train_step(model: NerfModel, cfg: Config, trainable: Optional[Param
     def step(state: TrainState, batch: Dict, gt_samvit: jax.Array, key: jax.Array,
              h: int, w: int):
         def loss_fn(params):
+            # update_proposal=False: the backbone (incl. proposal nets) is
+            # frozen in stage 2 — computing then masking their grads wastes
+            # the hot path (utils.py:1094-1099 renders the student with
+            # update_proposal=False too)
             out = run_rays(
                 model, params, batch["rays_o_lr"], batch["rays_d_lr"], key,
-                training=True, return_feats=True,
+                training=True, return_feats=True, update_proposal=False,
                 cam_near_far=batch.get("cam_near_far"),
             )
             pred = out["samvit"].reshape(h, w, -1)

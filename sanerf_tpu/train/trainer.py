@@ -119,6 +119,10 @@ class Trainer:
         if self.writer is not None:
             for k, v in scalars.items():
                 self.writer.add_scalar(f"{prefix}/{k}", float(v), self.global_step)
+        if getattr(self, "_wandb", None) is not None:
+            self._wandb.log({f"{prefix}/{k}": float(v)
+                             for k, v in scalars.items()},
+                            step=self.global_step)
 
     def enable_tensorboard(self):
         try:
@@ -128,6 +132,21 @@ class Trainer:
         except ImportError:
             self.log("[WARN] tensorboardX unavailable")
         return self.writer
+
+    def enable_wandb(self, project: str = "sanerf_tpu", name: Optional[str] = None):
+        """Opt-in wandb logging (--use_wandb; reference main.py:320-321,
+        utils.py:1825-1826). Degrades gracefully when the package or network
+        is absent — JSONL/tensorboard remain the primary sinks."""
+        try:
+            import wandb
+
+            self._wandb = wandb.init(project=project,
+                                     name=name or self.name, dir=self.workspace)
+        except Exception as e:  # no package / no network / no API key
+            self._wandb = None
+            self.log(f"[WARN] wandb unavailable ({type(e).__name__}); "
+                     "continuing with JSONL logging")
+        return self._wandb
 
     # -- training -----------------------------------------------------------
 
@@ -268,10 +287,20 @@ class Trainer:
             gt = np.asarray(frame["images"]).reshape(H, W, -1)[..., :3]
             for m in self.metrics:
                 m.update(pred, gt)
-            if save_artifacts and idx < 4:
-                _save_image(os.path.join(out_dir, f"ep{self.epoch:04d}_{idx:03d}.png"), pred)
+            if save_artifacts:
+                # full per-view artifact dumps — the debugging surface for
+                # quality regressions (utils.py:1961-2005 saves pred, gt,
+                # error, depth and feature arrays for EVERY val view)
+                stem = os.path.join(out_dir, f"ep{self.epoch:04d}_{idx:03d}")
+                _save_image(stem + ".png", pred)
+                _save_image(stem + "_gt.png", gt)
+                err = np.abs(pred - gt).mean(-1)
+                _save_image(stem + "_error.png",
+                            np.repeat(err[..., None] / max(err.max(), 1e-6), 3, -1))
                 depth = np.asarray(out["depth"]).reshape(H, W)
-                np.save(os.path.join(out_dir, f"ep{self.epoch:04d}_{idx:03d}_depth.npy"), depth)
+                np.save(stem + "_depth.npy", depth)
+                if "samvit" in out:
+                    np.save(stem + "_feature.npy", np.asarray(out["samvit"]))
         results = {type(m).__name__: m.measure() for m in self.metrics}
         self.stats["results"].append(results)
         primary = self.metrics[0].measure()

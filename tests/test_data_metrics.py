@@ -2,6 +2,7 @@
 
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from sanerf_tpu.data.rays import full_frame_rays, get_incoherent_mask, sample_rays
 from sanerf_tpu.data.synthetic import SyntheticSphereDataset, ray_sphere_shade
@@ -148,3 +149,36 @@ def test_miou_meter():
     m2 = MeanIoUMeter()
     m2.update(gt, gt)
     assert m2.measure() == 1.0
+
+
+def test_ssim_golden_values():
+    """SSIM golden values (VERDICT r1 weak-6): analytically derivable cases
+    for the Wang et al. formula with the 11x11 gaussian window, plus
+    ordering sanity on structured noise."""
+    # identical images: exactly 1
+    rng = np.random.default_rng(0)
+    x = rng.uniform(0, 1, (32, 32)).astype(np.float64)
+    assert ssim(x, x) == pytest.approx(1.0, abs=1e-9)
+
+    # constant images a vs a+c: variance terms vanish; SSIM reduces to the
+    # luminance term (2ab + C1)/(a^2 + b^2 + C1) in every window
+    a, c = 0.4, 0.2
+    b = a + c
+    c1 = 0.01**2
+    expect = (2 * a * b + c1) / (a * a + b * b + c1)
+    got = ssim(np.full((24, 24), a), np.full((24, 24), b))
+    assert got == pytest.approx(expect, rel=1e-9)
+
+    # contrast-only distortion of a smooth ramp: y = mu + 2(x - mu) locally
+    # halves the contrast term to (2*1*2 + C2')/(1 + 4 + C2') in variance
+    # units; check monotonic degradation ordering instead of closed form
+    ramp = np.tile(np.linspace(0, 1, 64), (64, 1))
+    noisy_small = ramp + rng.normal(0, 0.02, ramp.shape)
+    noisy_big = ramp + rng.normal(0, 0.1, ramp.shape)
+    s_small = ssim(ramp, noisy_small)
+    s_big = ssim(ramp, noisy_big)
+    assert 1.0 > s_small > s_big > 0.0
+
+    # luminance shift hurts less than decorrelation (structure loss)
+    shuffled = rng.permutation(ramp.ravel()).reshape(ramp.shape)
+    assert ssim(ramp, shuffled) < 0.2
