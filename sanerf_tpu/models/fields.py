@@ -454,14 +454,8 @@ def common_forward(
     8.4M-point final level). grid_output is not materialized on this path.
     """
     if model.is_mlp_field and fast and not save_intermediates:
-        from sanerf_tpu.ops.fused_mlp_t import run_tmlp
-
-        fT = run_tmlp(
-            x if x_T is None else x_T,
-            params["grid_mlp"], model.cfg.mlp_enc_freqs, model.bound,
-            (model.cfg.mlp_field_depth // 2,), leaky=True, block=4096,
-            transposed=x_T is not None,
-        )
+        fT = field_forward_T(model, params, x if x_T is None else x_T,
+                             transposed=x_T is not None)
         sigma = trunc_exp(fT[0])
         geo_feat = fT[1 : 1 + model.cfg.geom_feat_dim].T
         return sigma, geo_feat, None, []
@@ -508,6 +502,19 @@ def forward(
         "grid_output": grid_output,
         "grid_mlp_inter": inter,
     }
+
+
+def field_forward_T(model: NerfModel, params: Params, x, transposed: bool):
+    """Fused-kernel field chain; returns the TRANSPOSED [16, P] output
+    (row 0 = raw sigma logit, rows 1:16 = geo features) so callers can
+    composite in dims-first layout without transposing the big tensor."""
+    from sanerf_tpu.ops.fused_mlp_t import run_tmlp
+
+    return run_tmlp(
+        x, params["grid_mlp"], model.cfg.mlp_enc_freqs, model.bound,
+        (model.cfg.mlp_field_depth // 2,), leaky=True, block=4096,
+        transposed=transposed,
+    )
 
 
 def density(model: NerfModel, params: Params, x: jax.Array, proposal: int = -1,

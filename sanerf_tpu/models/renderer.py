@@ -24,6 +24,7 @@ import jax
 import jax.numpy as jnp
 
 from sanerf_tpu.models import fields
+from sanerf_tpu.ops.sh import sh_encode
 from sanerf_tpu.models.fields import NerfModel, Params
 from sanerf_tpu.ops import (
     composite,
@@ -106,6 +107,8 @@ def run_rays(
 
     bins = None
     weights = None
+    sigmas = None
+    fast_comp = False
     outputs = None
     features = None
     masks = None
@@ -150,19 +153,38 @@ def run_rays(
             if not update_proposal:
                 sigmas = jax.lax.stop_gradient(sigmas)
         else:
-            dirs = rays_d / jnp.linalg.norm(rays_d, axis=-1, keepdims=True)
-            dirs = jnp.broadcast_to(dirs[:, None, :], (N, T, 3)).reshape(N * T, 3)
-            outputs = fields.forward(model, params, xyzs, dirs, save_inter,
-                                     fast=fast, x_T=xyzs_T)
-            sigmas = outputs["sigma"].reshape(N, T)
+            dirs_ray = rays_d / jnp.linalg.norm(rays_d, axis=-1, keepdims=True)
+            fast_comp = fast and not mc.sum_after_mlp and not return_mask
+            if fast_comp:
+                # dims-first field query; compositing stays transposed (the
+                # point-major [P, 31] colors tensor + its per-point SH —
+                # directions are constant along a ray, so sum_t w*sh =
+                # weights_sum * sh(ray) — profiled ~20 ms/frame). NOTE: a
+                # VMEM composite kernel (ops/composite_t.py) was tried and
+                # measured SLOWER end-to-end (the [C, NT] -> [C, N, T]
+                # relayout XLA must do to feed it costs more than the
+                # composite saves); XLA's fused broadcast-reduce stays.
+                fT = fields.field_forward_T(
+                    model, params,
+                    xyzs_T if xyzs_T is not None else xyzs,
+                    transposed=xyzs_T is not None)
+                outputs = {"fT": fT}
+                sigmas = fields.trunc_exp(fT[0]).reshape(N, T)
+            else:
+                dirs = jnp.broadcast_to(
+                    dirs_ray[:, None, :], (N, T, 3)).reshape(N * T, 3)
+                outputs = fields.forward(model, params, xyzs, dirs, save_inter,
+                                         fast=fast, x_T=xyzs_T)
+                sigmas = outputs["sigma"].reshape(N, T)
             if mc.with_sam:
                 features = fields.sam_features(model, params, xyzs)
             if return_mask and mc.mask_mlp_type in ("default", "lightweight_mask"):
                 masks = fields.mask_grid_features(model, params, xyzs)
 
-        weights = compute_weights(
-            real_bins, sigmas, opaque_background=cfg.background == "last_sample"
-        )
+        if sigmas is not None:
+            weights = compute_weights(
+                real_bins, sigmas,
+                opaque_background=cfg.background == "last_sample")
         if training:
             all_bins.append(bins)
             all_weights.append(weights)
@@ -171,10 +193,26 @@ def run_rays(
     # field outputs are flat [N*T, C]; reshape (free bitcast) only where a
     # per-ray reduction needs the [N, T, C] view
     per_ray = lambda x: x.reshape(N, T_last, -1)
-    colors = outputs["color"]  # [N*T, 31]
-    geo_feat = outputs["geo_feat"]
 
-    weights_sum, depth, f_image = composite(weights, rays_t, per_ray(colors))
+    if fast_comp:
+        fT = outputs["fT"]
+        geo_T = fT[1 : 1 + mc.geom_feat_dim]  # [15, N*T]
+        g_sum = jnp.sum(
+            geo_T.reshape(-1, N, T_last) * weights[None], axis=-1
+        ).T  # [N, 15]
+        weights_sum = jnp.sum(weights, axis=-1)
+        depth = jnp.sum(weights * rays_t, axis=-1)
+        sh_ray = sh_encode(dirs_ray, mc.sh_degree)  # [N, 16]
+        f_image = jnp.concatenate(
+            [g_sum, weights_sum[:, None] * sh_ray], axis=-1)
+        geo_feat = None
+        colors = None
+        geo_sum_for_mid = g_sum
+    else:
+        colors = outputs["color"]  # [N*T, 31]
+        geo_feat = outputs["geo_feat"]
+        weights_sum, depth, f_image = composite(weights, rays_t, per_ray(colors))
+        geo_sum_for_mid = None
 
     view_inter = []
     f_colors = None
@@ -222,6 +260,8 @@ def run_rays(
             f_sam = jnp.sum(weights[..., None] * per_ray(features), axis=-2)
             if mc.sam_use_view_direction:
                 mid = f_image
+            elif geo_sum_for_mid is not None:
+                mid = geo_sum_for_mid
             else:
                 mid = jnp.sum(weights[..., None] * per_ray(geo_feat), axis=-2)
             f = jnp.concatenate([f_sam, mid, image, depth[..., None]], axis=-1)
