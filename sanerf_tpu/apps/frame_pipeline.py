@@ -120,9 +120,15 @@ class FramePipeline:
 
     @staticmethod
     def _fetch(frame):
+        """Fetch ONLY the display pixels; depth/mask stay on-device.
+
+        Host transfers serialize with device compute through the relay
+        (profiled: fetching depth f32 + mask alongside the uint8 frame cost
+        ~50 ms/frame — the u8-only fetch runs at device speed). Depth is
+        needed on the host only when a click lifts to 3D, the mask only for
+        export — callers np.asarray() those lazily."""
         u8, depth, mask = frame
-        return (np.asarray(u8), np.asarray(depth),
-                None if mask is None else np.asarray(mask))
+        return np.asarray(u8), depth, mask
 
     def render(self, ro, rd, ro_lr=None, rd_lr=None, clicks=None, labels=None):
         """Pipelined: dispatch this frame, return the previous one (or this

@@ -62,6 +62,32 @@ class HeadlessViewer:
         self.ctrl = AdaptiveController()
         self.training = trainer is not None and train_dataset is not None
         self.fps = 0.0
+        # GUI-editable render state (gui.py:185-435 control panel)
+        b = float(session.model.render_cfg.grid_bound)
+        self.aabb = np.asarray([-b, -b, -b, b, b, b], np.float32)
+        self.bg_color = 1.0
+        self.mode = "image"  # 'image' | 'depth'
+        self.max_spp = int(getattr(cfg, "max_spp", 1) or 1)
+        self.spp = 0
+        self._acc = None
+        self._need_update = True
+
+    def mark_dirty(self):
+        """Camera/state changed: restart spp accumulation."""
+        self._need_update = True
+        self.spp = 0
+        self._acc = None
+
+    def start_training(self):
+        self.training = (self.trainer is not None
+                         and self.train_dataset is not None)
+
+    def stop_training(self):
+        self.training = False
+
+    def save_checkpoint(self):
+        if self.trainer is not None:
+            self.trainer.save_checkpoint(full=True)
 
     def frame(self, click=None):
         t0 = time.time()
@@ -80,10 +106,32 @@ class HeadlessViewer:
                 )
             self.ctrl.update_train_steps((time.time() - tt0) * 1e3)
             self.session.params = self.trainer.eval_params()
+        # spp accumulation (gui.py:185-190): while the camera is static,
+        # keep averaging perturbed renders up to max_spp
+        accumulate = (not self._need_update and not self.training
+                      and click is None and self.max_spp > 1
+                      and self.spp < self.max_spp)
+        key = None
+        if accumulate and self.spp > 0:
+            import jax
+
+            key = jax.random.key(self.spp)
         result = self.session.step(
             self.camera.pose, self.camera.intrinsics, click=click,
-            downscale=self.ctrl.downscale,
+            downscale=self.ctrl.downscale, aabb=self.aabb,
+            bg_color=self.bg_color, mode=self.mode, key=key,
         )
+        if self.max_spp > 1:
+            if self._acc is None or not accumulate:
+                self._acc = result.composed.astype(np.float32)
+                self.spp = 1
+            else:
+                self.spp += 1
+                self._acc += (result.composed - self._acc) / self.spp
+            import dataclasses as _dc
+
+            result = _dc.replace(result, composed=self._acc)
+        self._need_update = False
         dt_ms = (time.time() - t0) * 1e3
         self.ctrl.update_downscale(dt_ms)
         self.fps = 1000.0 / max(dt_ms, 1e-3)
@@ -92,12 +140,15 @@ class HeadlessViewer:
     # input handlers mirroring gui.py:398-416
     def orbit(self, dx, dy):
         self.camera.orbit(dx, dy)
+        self.mark_dirty()
 
     def zoom(self, delta):
         self.camera.scale(delta)
+        self.mark_dirty()
 
     def pan(self, dx, dy):
         self.camera.pan(dx, dy)
+        self.mark_dirty()
 
     def right_click(self, x, y):
         """Right click = add/remove segmentation point (gui.py:398-416)."""
@@ -152,15 +203,61 @@ def _run_dearpygui(cfg: Config, session: InteractiveSession, trainer,
                             tag="_texture")
     with dpg.window(tag="_primary", width=W, height=H):
         dpg.add_image("_texture")
-    with dpg.window(label="Control", width=300, height=200, pos=(W, 0)):
+    def set_fovy(s, v):
+        viewer.camera.fovy = v
+        viewer.mark_dirty()
+
+    def set_mode(s, v):
+        viewer.mode = v
+        viewer.mark_dirty()
+
+    def set_bg(s, v):
+        viewer.bg_color = float(np.mean(v[:3]))
+        viewer.mark_dirty()
+
+    def set_aabb(axis):
+        def cb(s, v):
+            viewer.aabb[axis] = v
+            viewer.mark_dirty()
+        return cb
+
+    b = float(session.model.render_cfg.grid_bound)
+    with dpg.window(label="Control", width=320, height=H, pos=(W, 0)):
         dpg.add_text("", tag="_fps")
         dpg.add_slider_float(label="fovy", default_value=60, min_value=30,
-                             max_value=120,
-                             callback=lambda s, v: setattr(viewer.camera, "fovy", v))
+                             max_value=120, callback=set_fovy)
+        # display mode + background (gui.py:252-275)
+        dpg.add_radio_button(("image", "depth"), default_value="image",
+                             horizontal=True, callback=set_mode)
+        dpg.add_color_edit((255, 255, 255), label="bg color",
+                           no_alpha=True, callback=set_bg)
+        # live inference-AABB sliders (gui.py:317-320 -> renderer runtime
+        # aabb argument)
+        with dpg.collapsing_header(label="AABB", default_open=False):
+            for i, name in enumerate(("xmin", "ymin", "zmin",
+                                      "xmax", "ymax", "zmax")):
+                lo, hi = (-b, b)
+                dpg.add_slider_float(label=name, min_value=lo, max_value=hi,
+                                     default_value=float(viewer.aabb[i]),
+                                     callback=set_aabb(i))
+        # train start/stop + checkpoint save (gui.py:226-250)
+        if trainer is not None and train_dataset is not None:
+            with dpg.group(horizontal=True):
+                dpg.add_button(label="start train",
+                               callback=lambda: viewer.start_training())
+                dpg.add_button(label="stop train",
+                               callback=lambda: viewer.stop_training())
+                dpg.add_button(label="save ckpt",
+                               callback=lambda: viewer.save_checkpoint())
 
     def on_drag(sender, app_data):
         if dpg.is_item_focused("_primary"):
             viewer.orbit(app_data[1], app_data[2])
+
+    def on_pan(sender, app_data):
+        # middle-drag pan (gui.py:417-427)
+        if dpg.is_item_focused("_primary"):
+            viewer.pan(app_data[1], app_data[2])
 
     def on_wheel(sender, app_data):
         viewer.zoom(app_data)
@@ -171,6 +268,8 @@ def _run_dearpygui(cfg: Config, session: InteractiveSession, trainer,
 
     with dpg.handler_registry():
         dpg.add_mouse_drag_handler(button=dpg.mvMouseButton_Left, callback=on_drag)
+        dpg.add_mouse_drag_handler(button=dpg.mvMouseButton_Middle,
+                                   callback=on_pan)
         dpg.add_mouse_wheel_handler(callback=on_wheel)
         dpg.add_mouse_click_handler(button=dpg.mvMouseButton_Right,
                                     callback=on_right_click)
@@ -182,7 +281,8 @@ def _run_dearpygui(cfg: Config, session: InteractiveSession, trainer,
         res = viewer.frame()
         buffer[:] = np.clip(res.composed, 0, 1)
         dpg.set_value("_texture", buffer.ravel())
-        dpg.set_value("_fps", f"{viewer.fps:.1f} FPS | downscale {viewer.ctrl.downscale}")
+        dpg.set_value("_fps", f"{viewer.fps:.1f} FPS | downscale "
+                      f"{viewer.ctrl.downscale} | spp {viewer.spp}")
         dpg.render_dearpygui_frame()
     dpg.destroy_context()
     return viewer

@@ -59,13 +59,19 @@ class InteractiveSession:
     # -- rendering -------------------------------------------------------------
 
     def render_frame(self, pose: np.ndarray, intrinsics: np.ndarray,
-                     downscale: int = 1) -> Tuple[np.ndarray, np.ndarray]:
+                     downscale: int = 1, aabb=None, bg_color: float = 1.0,
+                     key=None) -> Tuple[np.ndarray, np.ndarray]:
         """RGB + depth at (H/downscale, W/downscale), upscaled back
-        (dynamic-resolution mode, utils.py:1698-1702)."""
+        (dynamic-resolution mode, utils.py:1698-1702). `aabb` is the live
+        GUI-editable inference box (gui.py:317-320), `key` enables
+        perturbed sampling for spp accumulation (gui.py:185-190)."""
         H, W = self.H // downscale, self.W // downscale
         intr = np.asarray(intrinsics, np.float32) / downscale
         ro, rd = full_frame_rays(jnp.asarray(pose), jnp.asarray(intr), H, W)
-        out = renderer.render_frame(self.model, self.params, ro, rd)
+        out = renderer.render_frame(
+            self.model, self.params, ro, rd, bg_color=bg_color,
+            aabb=None if aabb is None else jnp.asarray(aabb, jnp.float32),
+            key=key)
         rgb = np.asarray(out["image"]).reshape(H, W, 3)
         depth = np.asarray(out["depth"]).reshape(H, W)
         if downscale > 1:
@@ -161,12 +167,19 @@ class InteractiveSession:
 
     def step(self, pose: np.ndarray, intrinsics: Optional[np.ndarray] = None,
              click: Optional[Tuple[float, float]] = None,
-             downscale: int = 1) -> FrameResult:
+             downscale: int = 1, aabb=None, bg_color: float = 1.0,
+             mode: str = "image", key=None) -> FrameResult:
         """One interactive frame: render, (optional) click, reproject,
-        segment, overlay (the test_step flow, utils.py:1243-1407)."""
+        segment, overlay (the test_step flow, utils.py:1243-1407).
+        `mode`: 'image' or 'depth' (the GUI display-mode radio,
+        gui.py:252-258)."""
         intr = (np.asarray(intrinsics, np.float32) if intrinsics is not None
                 else self.intrinsics_for(pose))
-        rgb, depth = self.render_frame(pose, intr, downscale)
+        rgb, depth = self.render_frame(pose, intr, downscale, aabb=aabb,
+                                       bg_color=bg_color, key=key)
+        if mode == "depth":
+            d = depth / max(float(depth.max()), 1e-6)
+            rgb = np.repeat(d[..., None], 3, axis=-1).astype(np.float32)
 
         if click is not None:
             self.toggle_point(click[0], click[1], pose, depth)

@@ -88,7 +88,7 @@ class SceneDataset:
             "3dfront": self._load_transforms,
             "lerf": self._load_transforms,
             "lift": self._load_lift,
-            "pano": self._load_transforms,
+            "pano": self._load_pano,
             "ctr": self._load_transforms,
         }[self.dc.data_type]
         loader()
@@ -231,6 +231,11 @@ class SceneDataset:
         imgs = [img0] + [_load_image(p, ds) for p in paths[1:]]
         self.images = (np.stack(imgs).astype(np.float32) / 255.0)
         self.H, self.W = H, W
+        if self.dc.data_type == "lerf" and self.split != "test":
+            # LERF fixes per-view near/far to [0.01, 8] for every train/val
+            # camera (lerf_provider.py:117)
+            self.cam_near_far = np.tile(
+                np.asarray([[0.01, 8.0]], np.float32), (len(self.poses), 1))
         self._maybe_load_masks()
 
     def _load_lift(self):
@@ -282,6 +287,52 @@ class SceneDataset:
             self.intrinsics = np.array([f, f, self.W / 2, self.H / 2], np.float32)
         imgs = [img0] + [_load_image(p, ds) for p in paths[1:]]
         self.images = np.stack(imgs).astype(np.float32) / 255.0
+        self._maybe_load_masks()
+
+    def _load_pano(self):
+        """Pano layout (colmap_provider.py:357-423): images[_<ds>]/ +
+        pose/<name>.txt 4x4 c2w matrices with the y/z columns negated
+        in-place (OpenCV -> OpenGL), and a single shared
+        intrinsic/intrinsic_color.txt matrix ([fx, fy, cx, cy] from its
+        diagonal and second-to-last column). AABB estimated from camera
+        centers (not sparse points — there is no COLMAP model here)."""
+        root = self.dc.path
+        ds = self.dc.downscale
+        img_dir = os.path.join(root, f"images_{ds}")
+        if not os.path.isdir(img_dir):
+            img_dir = os.path.join(root, "images")
+        names = sorted(os.listdir(img_dir))
+
+        intr_file = os.path.join(root, "intrinsic", "intrinsic_color.txt")
+        K = np.loadtxt(intr_file, dtype=np.float64)
+        intr = np.array([K[0, 0], K[1, 1], K[0, -2], K[1, -2]], np.float32)
+
+        poses, keep = [], []
+        for name in names:
+            pf = os.path.join(root, "pose", os.path.splitext(name)[0] + ".txt")
+            ip = os.path.join(img_dir, name)
+            if not (os.path.exists(pf) and os.path.exists(ip)):
+                continue
+            m = np.loadtxt(pf).reshape(4, 4).astype(np.float32)
+            m[:, 1:3] = -m[:, 1:3]  # colmap_provider.py:384
+            poses.append(m)
+            keep.append(name)
+        poses = np.stack(poses)
+        cam_pts = poses[:, :3, 3].copy()
+        poses, cam_pts = self._finalize_poses(poses, cam_pts)
+        # reference estimates the AABB from the (centered, scaled) camera
+        # centers' min/max (colmap_provider.py:409)
+        self.pts_aabb = np.concatenate(
+            [cam_pts.min(0), cam_pts.max(0)]).astype(np.float32)
+        self.poses = poses
+        self.names = keep
+        img0 = _load_image(os.path.join(img_dir, keep[0]), 1)
+        self.H, self.W = img0.shape[:2]
+        self.intrinsics = intr
+        self.images = np.stack(
+            [img0] + [_load_image(os.path.join(img_dir, n), 1)
+                      for n in keep[1:]]
+        ).astype(np.float32) / 255.0
         self._maybe_load_masks()
 
     def _load_images(self, img_dir: str, ds: int):

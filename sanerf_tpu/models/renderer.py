@@ -29,6 +29,7 @@ from sanerf_tpu.models.fields import NerfModel, Params
 from sanerf_tpu.ops import (
     composite,
     compute_weights,
+    compute_weights_from_deltas,
     contract,
     contract_T,
     distort_loss,
@@ -104,6 +105,13 @@ def run_rays(
     # inference fast path: transposed fused encode+MLP kernels (no VJP)
     fast = (model.is_mlp_field and not training and not save_inter
             and cfg.use_fused_mlp)
+    interp = jax.default_backend() == "cpu"
+    if fast:
+        # per-level geometry (resample/spacing/contraction) runs in the
+        # ray kernels (ops/ray_kernels.py); they consume one packed
+        # [N, 8] ray tensor
+        rays8 = jnp.concatenate(
+            [rays_o, rays_d, s_nears, s_fars], axis=1).astype(jnp.float32)
 
     bins = None
     weights = None
@@ -114,37 +122,45 @@ def run_rays(
     masks = None
     for level, T in enumerate(num_steps):
         last = level == len(num_steps) - 1
-        if level == 0:
-            bins = uniform_bins(N, T, keys[level])  # [N, T+1]
-        else:
-            bins = jax.lax.stop_gradient(
-                sample_pdf(bins, weights, T + 1, keys[level])
-            )  # [N, T+1]
-
-        real_bins = spacing_fn_inv(s_nears * (1.0 - bins) + s_fars * bins)
-        rays_t = (real_bins[..., 1:] + real_bins[..., :-1]) / 2.0  # [N, T]
-        # field queries run on FLAT [N*T, 3] points: arrays born 2-D keep
-        # GEMM-friendly {1,0} layouts end to end, whereas flattening a
-        # [N, T, C] intermediate later costs a physical transpose on TPU
-        # (profiled at ~30% of a frame)
-        xyzs = xyzs_T = None
+        xyzs = xyzs_T = dl = None
         if fast:
-            # dims-first build for the fused kernels: no [N*T, 3] tensor or
-            # physical transpose on the hot path (the [P, 3] build + pad
-            # profiled at ~20 ms/frame of concat + dynamic-update-slice)
-            xyzs_T = (
-                rays_o.T[:, :, None] + rays_d.T[:, :, None] * rays_t[None]
-            ).reshape(3, N * T)
-            if cfg.contract:
-                xyzs_T = contract_T(xyzs_T)
+            # the whole inter-level glue — inverse-CDF resample, spacing
+            # warp, midpoints/deltas, contraction — in one VMEM kernel per
+            # level, emitting dims-first coordinates for the MLP kernels
+            from sanerf_tpu.ops.ray_kernels import ray_level, ray_level0
+
+            if level == 0:
+                bins, rays_t, dl, x3 = ray_level0(
+                    rays8, T, cfg.contract, interpret=interp)
+            else:
+                bins, rays_t, dl, x3 = ray_level(
+                    rays8, weights, bins, T, cfg.contract,
+                    uniform_prev=level == 1, interpret=interp)
+            xyzs_T = x3.reshape(3, N * T)
+        else:
+            if level == 0:
+                bins = uniform_bins(N, T, keys[level])  # [N, T+1]
+            else:
+                bins = jax.lax.stop_gradient(
+                    sample_pdf(bins, weights, T + 1, keys[level])
+                )  # [N, T+1]
+
+            real_bins = spacing_fn_inv(s_nears * (1.0 - bins) + s_fars * bins)
+            rays_t = (real_bins[..., 1:] + real_bins[..., :-1]) / 2.0  # [N, T]
         if not fast or (last and (mc.with_sam or return_mask)):
             # point-major coords for the XLA field path and the SAM/mask
-            # feature lookups (XLA drops this when nothing consumes it)
-            xyzs = (
-                rays_o[:, None, :] + rays_d[:, None, :] * rays_t[..., None]
-            ).reshape(N * T, 3)
-            if cfg.contract:
-                xyzs = contract(xyzs)
+            # feature lookups (XLA drops this when nothing consumes it).
+            # Arrays born 2-D keep GEMM-friendly {1,0} layouts end to end;
+            # flattening a [N, T, C] intermediate later costs a physical
+            # transpose (profiled ~30% of a frame)
+            if fast:
+                xyzs = xyzs_T.T  # already contracted by the ray kernel
+            else:
+                xyzs = (
+                    rays_o[:, None, :] + rays_d[:, None, :] * rays_t[..., None]
+                ).reshape(N * T, 3)
+                if cfg.contract:
+                    xyzs = contract(xyzs)
 
         if not last:
             sigmas = fields.density(model, params, xyzs, proposal=level,
@@ -182,9 +198,14 @@ def run_rays(
                 masks = fields.mask_grid_features(model, params, xyzs)
 
         if sigmas is not None:
-            weights = compute_weights(
-                real_bins, sigmas,
-                opaque_background=cfg.background == "last_sample")
+            if dl is not None:
+                weights = compute_weights_from_deltas(
+                    dl, sigmas,
+                    opaque_background=cfg.background == "last_sample")
+            else:
+                weights = compute_weights(
+                    real_bins, sigmas,
+                    opaque_background=cfg.background == "last_sample")
         if training:
             all_bins.append(bins)
             all_weights.append(weights)
@@ -363,6 +384,8 @@ def render_frame(
     return_feats: bool = False,
     return_mask: bool = False,
     bg_color: float = 1.0,
+    aabb: Optional[jax.Array] = None,
+    key: Optional[jax.Array] = None,
 ) -> Dict[str, jax.Array]:
     """Whole-frame inference as ONE jitted program.
 
@@ -385,7 +408,8 @@ def render_frame(
     def body(args):
         o, d = args
         out = run_rays(
-            model, params, o, d, None, bg_color=bg_color,
+            model, params, o, d, key, bg_color=bg_color,
+            perturb=key is not None, aabb=aabb,
             return_feats=return_feats, return_mask=return_mask,
         )
         keep = {"image", "depth", "weights_sum"}

@@ -6,7 +6,12 @@ This package is the replacement of the reference's three CUDA extensions
 """
 
 from sanerf_tpu.ops.activation import trunc_exp
-from sanerf_tpu.ops.composite import composite, compute_weights
+from sanerf_tpu.ops.composite import (
+    composite,
+    compute_weights,
+    compute_weights_from_deltas,
+    cumsum_lanes,
+)
 from sanerf_tpu.ops.freq import freq_encode, freq_output_dim
 from sanerf_tpu.ops.hashgrid import (
     HashGridSpec,

@@ -42,7 +42,17 @@ def compute_weights(
 
     Returns weights [N, T].
     """
-    deltas = real_bins[..., 1:] - real_bins[..., :-1]  # [N, T]
+    return compute_weights_from_deltas(
+        real_bins[..., 1:] - real_bins[..., :-1], sigmas, opaque_background)
+
+
+def compute_weights_from_deltas(
+    deltas: jax.Array,
+    sigmas: jax.Array,
+    opaque_background: bool = False,
+) -> jax.Array:
+    """compute_weights when the caller already has the metric deltas (the
+    ray-geometry kernels emit them directly)."""
     ds = deltas * sigmas
     if opaque_background:
         # alphas see an opaque last sample; the transmittance cumsum keeps

@@ -283,6 +283,9 @@ def test_frame_pipeline_double_buffered(rng):
     img1, depth1, mask1 = pipe.render(ro, rd, ro_lr, rd_lr,
                                       clicks=[[8.0, 8.0]], labels=[1])
     assert img1.shape == (H, W, 3) and img1.dtype == np.uint8
+    # depth/mask are device arrays (lazy fetch); np.asarray on demand
+    depth1 = np.asarray(depth1)
+    mask1 = np.asarray(mask1)
     assert depth1.shape == (H, W)
     assert mask1.shape == (H, W) and mask1.dtype == bool
     # second call returns the PREVIOUS dispatch's frame; flush drains it
@@ -291,7 +294,47 @@ def test_frame_pipeline_double_buffered(rng):
     out = pipe.flush()
     assert out is not None
     # no clicks -> mask gated off everywhere
-    assert not out[2].any()
+    assert not np.asarray(out[2]).any()
     # sync render has no pipeline latency
     img3, _, _ = pipe.render_sync(ro, rd, ro_lr, rd_lr)
     assert np.isfinite(depth1).all()
+
+
+def test_headless_viewer_controls(session):
+    """GUI control surface (VERDICT r1 item 6): live AABB, bg color,
+    image/depth mode, spp accumulation, pan, train start/stop plumbing."""
+    from sanerf_tpu.apps.gui import HeadlessViewer
+    from sanerf_tpu.config import Config
+
+    cfg = Config()
+    v = HeadlessViewer(cfg, session)
+    v.max_spp = 4
+
+    r1 = v.frame()
+    assert v.spp == 1
+    r2 = v.frame()  # static camera -> accumulate
+    assert v.spp == 2
+    assert np.isfinite(r2.composed).all()
+
+    v.pan(3, 0)  # camera moved -> accumulation restarts
+    r3 = v.frame()
+    assert v.spp == 1
+
+    # shrinking the live AABB to a sliver changes the render
+    v.aabb = np.asarray([-0.05, -0.05, -0.05, 0.05, 0.05, 0.05], np.float32)
+    v.mark_dirty()
+    r4 = v.frame()
+    assert not np.allclose(r4.composed, r3.composed)
+
+    # depth display mode is grayscale
+    v.mode = "depth"
+    v.mark_dirty()
+    rd = v.frame()
+    np.testing.assert_allclose(rd.composed[..., 0], rd.composed[..., 1],
+                               atol=0.3)  # overlay points may differ
+
+    # train controls are safe no-ops without a trainer
+    v.start_training()
+    assert not v.training
+    v.stop_training()
+    v.save_checkpoint()

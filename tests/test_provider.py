@@ -204,3 +204,58 @@ def test_mask_loading(colmap_scene):
     ds.update_error_map(b["index"], b["inds_coarse"][:5], np.ones(5, np.float32))
     after = ds.error_map[b["index"]][b["inds_coarse"][:5]]
     np.testing.assert_allclose(after, 0.1 * before + 0.9, rtol=1e-5)
+
+
+@pytest.fixture
+def pano_scene(tmp_path):
+    """Reference pano layout: images/ + pose/*.txt + intrinsic/
+    intrinsic_color.txt (colmap_provider.py:357-423)."""
+    import cv2
+
+    root = str(tmp_path / "pscene")
+    os.makedirs(os.path.join(root, "images"))
+    os.makedirs(os.path.join(root, "pose"))
+    os.makedirs(os.path.join(root, "intrinsic"))
+    K = np.array([[40.0, 0, 12.0, 0], [0, 40.0, 9.0, 0],
+                  [0, 0, 1, 0], [0, 0, 0, 1]], np.float64)
+    np.savetxt(os.path.join(root, "intrinsic", "intrinsic_color.txt"), K)
+    poses = cam_util.circle_poses(radius=2.0, n=5)
+    for i, p in enumerate(poses):
+        # stored poses are OpenCV-convention: invert the y/z flip the
+        # loader applies
+        m = p.copy()
+        m[:, 1:3] = -m[:, 1:3]
+        np.savetxt(os.path.join(root, "pose", f"f_{i}.txt"), m)
+        cv2.imwrite(os.path.join(root, "images", f"f_{i}.png"),
+                    np.full((18, 24, 3), 90, np.uint8))
+    # one pose without an image: must be filtered out
+    np.savetxt(os.path.join(root, "pose", "f_9.txt"), np.eye(4))
+    return root
+
+
+def test_pano_dataset(pano_scene):
+    cfg = Config(data=DataConfig(path=pano_scene, data_type="pano",
+                                 val_type="val_all"))
+    ds = SceneDataset(cfg, "train")
+    assert len(ds) == 5  # orphan pose filtered
+    assert ds.images.shape == (5, 18, 24, 3)
+    np.testing.assert_allclose(ds.intrinsics, [40, 40, 12, 9], rtol=1e-6)
+    # AABB from camera centers exists and is ordered
+    assert ds.pts_aabb.shape == (6,)
+    assert np.all(ds.pts_aabb[:3] <= ds.pts_aabb[3:])
+    # the y/z column flip round-trips: cameras at unit radius after
+    # auto-scale look inward
+    assert np.isfinite(ds.poses).all()
+    b = ds.collate_train(np.random.default_rng(0), 8)
+    assert b["rays_o"].shape == (8, 3)
+
+
+def test_lerf_fixed_near_far(transforms_scene):
+    cfg = Config(data=DataConfig(path=transforms_scene, data_type="lerf",
+                                 val_type="val_all"))
+    ds = SceneDataset(cfg, "train")
+    assert ds.cam_near_far is not None
+    np.testing.assert_allclose(
+        ds.cam_near_far, np.tile([[0.01, 8.0]], (len(ds), 1)))
+    b = ds.collate_train(np.random.default_rng(0), 8)
+    assert b["cam_near_far"].shape == (8, 2)
