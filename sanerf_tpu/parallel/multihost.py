@@ -51,3 +51,36 @@ def local_batch_size(global_batch: int) -> int:
         f"global batch {global_batch} must divide process count"
     )
     return global_batch // jax.process_count()
+
+
+def global_mesh(axis: str = "data"):
+    """1-D mesh over ALL processes' devices (jax.devices() is global after
+    jax.distributed.initialize): DP over ICI within a slice, DCN across
+    slices — XLA routes the psum hierarchically."""
+    import jax
+    from jax.sharding import Mesh
+
+    return Mesh(np.asarray(jax.devices()), (axis,))
+
+
+def distribute_batch(batch: dict, mesh, axis: str = "data") -> dict:
+    """Assemble per-process local batch shards into global jax.Arrays
+    sharded on the leading (ray) axis. Each host samples only its own rays
+    (process_shard_indices); this stitches them into the global batch the
+    shard_map step consumes — no host ever materializes the full batch."""
+    import jax
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    out = {}
+    for k, v in batch.items():
+        v = np.asarray(v)
+        spec = P(axis) if v.ndim >= 1 and v.shape[0] > 1 else P()
+        sharding = NamedSharding(mesh, spec)
+        if v.ndim >= 1 and v.shape[0] > 1:
+            global_shape = (v.shape[0] * jax.process_count(),) + v.shape[1:]
+            out[k] = jax.make_array_from_process_local_data(
+                sharding, v, global_shape)
+        else:
+            out[k] = jax.make_array_from_process_local_data(
+                sharding, v, v.shape)
+    return out
