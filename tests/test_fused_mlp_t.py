@@ -80,3 +80,21 @@ def test_run_tmlp_traced_in_jit(rng):
     got = np.asarray(f(layers, x))
     ref = np.asarray(_ref(layers, x, 3, 2.0, (2,), True))
     np.testing.assert_allclose(got[:16].T, ref, rtol=2e-4, atol=2e-4)
+
+
+@pytest.mark.parametrize("ad", [True, False])
+def test_run_tmlp_angle_double_parity(rng, ad):
+    """Angle-doubling encode == dense-sin encode == XLA reference."""
+    from sanerf_tpu.ops.fused_mlp_t import run_tmlp
+
+    layers = fields.init_skip_mlp(jax.random.key(5), 39, 16, 32, 4, (2,),
+                                  bias=False)
+    x = jnp.asarray(rng.uniform(-2, 2, (64, 3)).astype(np.float32))
+    ref = np.asarray(_ref(layers, x, 6, 2.0, (2,), True))
+    got = np.asarray(run_tmlp(x, layers, 6, 2.0, (2,), leaky=True, block=32,
+                              angle_double=ad))
+    np.testing.assert_allclose(got[:16].T, ref, rtol=3e-4, atol=3e-4)
+    # transposed feed too
+    got_t = np.asarray(run_tmlp(x.T, layers, 6, 2.0, (2,), leaky=True,
+                                block=32, angle_double=ad, transposed=True))
+    np.testing.assert_allclose(got_t[:16].T, ref, rtol=3e-4, atol=3e-4)
