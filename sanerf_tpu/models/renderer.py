@@ -126,16 +126,27 @@ def run_rays(
         if fast:
             # the whole inter-level glue — inverse-CDF resample, spacing
             # warp, midpoints/deltas, contraction — in one VMEM kernel per
-            # level, emitting dims-first coordinates for the MLP kernels
+            # level, emitting dims-first coordinates for the MLP kernels.
+            # perturb threads the SAME uniform draws the XLA path uses as a
+            # jitter input (drawn here in XLA, tiny [N, T+1] tensors), so
+            # spp accumulation sees genuinely different stratified samples
             from sanerf_tpu.ops.ray_kernels import ray_level, ray_level0
 
             if level == 0:
+                jit = (None if keys[0] is None else
+                       (jax.random.uniform(keys[0], (N, T + 1)) - 0.5) / T)
                 bins, rays_t, dl, x3 = ray_level0(
-                    rays8, T, cfg.contract, interpret=interp)
+                    rays8, T, cfg.contract, interpret=interp, jitter=jit)
             else:
+                jit = (None if keys[level] is None else
+                       (jax.random.uniform(keys[level], (N, T + 1)) - 0.5)
+                       / (T + 1))
+                # level-0 bins are only the analytic uniform grid when
+                # unjittered; perturbed frames must resample the real edges
                 bins, rays_t, dl, x3 = ray_level(
                     rays8, weights, bins, T, cfg.contract,
-                    uniform_prev=level == 1, interpret=interp)
+                    uniform_prev=level == 1 and not perturb,
+                    interpret=interp, jitter=jit)
             xyzs_T = x3.reshape(3, N * T)
         else:
             if level == 0:
@@ -404,11 +415,15 @@ def render_frame(
         rays_d = jnp.concatenate([rays_d, jnp.broadcast_to(rays_d[-1:], (pad, 3))], 0)
     ro = rays_o.reshape(n_chunks, chunk, 3)
     rd = rays_d.reshape(n_chunks, chunk, 3)
+    idx = jnp.arange(n_chunks)
 
     def body(args):
-        o, d = args
+        o, d, i = args
+        # fold the chunk index in — one key shared across chunks would give
+        # correlated stratified jitter, defeating spp variance reduction
+        k = None if key is None else jax.random.fold_in(key, i)
         out = run_rays(
-            model, params, o, d, key, bg_color=bg_color,
+            model, params, o, d, k, bg_color=bg_color,
             perturb=key is not None, aabb=aabb,
             return_feats=return_feats, return_mask=return_mask,
         )
@@ -422,9 +437,9 @@ def render_frame(
     if n_chunks == 1:
         # single-chunk frames skip lax.map: the loop's dynamic-update-slice
         # plumbing alone profiled at ~25-37 ms/frame
-        out = body((ro[0], rd[0]))
+        out = body((ro[0], rd[0], idx[0]))
         return {k: v[:N] for k, v in out.items()}
-    out = jax.lax.map(body, (ro, rd))
+    out = jax.lax.map(body, (ro, rd, idx))
     return {k: v.reshape(n_chunks * chunk, *v.shape[2:])[:N] for k, v in out.items()}
 
 

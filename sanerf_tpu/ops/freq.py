@@ -33,10 +33,13 @@ def freq_encode(x: jax.Array, degree: int = 4,
     [x, sin(2^0 x), cos(2^0 x), ..., sin(2^{deg-1} x), cos(2^{deg-1} x)],
     using cos(z) = sin(z + pi/2).
 
-    Precision: DEFAULT (3-pass bf16 on TPU, ~f32-accurate) — the phases here
-    stay below 2^degree * pi * |x|, a few radians for contracted inputs, so
-    the old HIGHEST (6-pass) setting only halved the op's throughput
-    (profiled 74 GB/s / 86 ms per frame). `out_dtype` (bf16 at inference)
+    Precision: HIGH (3-pass bf16 on TPU, ~f32-accurate operands). DEFAULT
+    would be SINGLE-pass bf16: operand rounding of x at 2^-9 relative turns
+    into multi-radian phase error in the top bands (freq 9 at |x|<=2 reaches
+    ~2^9*2*pi ~= 3.2e3 rad; bf16 rounding of x alone is ~2*pi there) —
+    silently corrupting the encode on the TPU training path while CPU tests
+    (which run DEFAULT as f32) stay green. 3-pass keeps phase error below
+    ~2e-3 rad at ~half HIGHEST's cost. `out_dtype` (bf16 at inference)
     halves the materialized [., F] tensor; the sin computes in f32 first.
     """
     x = x.astype(jnp.float32)
@@ -55,7 +58,8 @@ def freq_encode(x: jax.Array, degree: int = 4,
         proj[:, col : col + D] = (2.0**f) * np.eye(D)  # cos block
         phase[col : col + D] = np.pi / 2
         col += D
-    z = jnp.dot(x, jnp.asarray(proj), preferred_element_type=jnp.float32)
+    z = jnp.dot(x, jnp.asarray(proj), preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.HIGH)
     out = jnp.where(jnp.asarray(is_linear), z, jnp.sin(z + jnp.asarray(phase)))
     return out.astype(out_dtype) if out_dtype is not None else out
 

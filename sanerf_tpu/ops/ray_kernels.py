@@ -14,9 +14,8 @@ dynamic-update-slice copies XLA inserted around them (profiled ~25
 ms/frame together).
 
 Math mirrors ops/sampling.py exactly (sample_pdf's affine-clamp identity,
-spacing_fn_inv, contract's argmax-first tie-break); the in-kernel
-formulations are the ones already parity-proven in ops/fused_render.py
-(_resample, _contract_planes, triangular-matmul cumsum).
+spacing_fn_inv, contract's argmax-first tie-break); parity is asserted in
+tests/test_ray_kernels.py.
 """
 
 from __future__ import annotations
@@ -30,12 +29,81 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from sanerf_tpu.ops.fused_render import (
-    _contract_planes,
-    _iota2,
-    _resample,
-    _spacing_inv,
-)
+
+# ---------------------------------------------------------------------------
+# in-kernel math helpers (all shapes static, Mosaic-layout friendly)
+# ---------------------------------------------------------------------------
+
+
+def _iota2(shape, dim):
+    return jax.lax.broadcasted_iota(jnp.int32, shape, dim)
+
+
+def _spacing_inv(x):
+    """Inverse of the mixed linear+lindisp warp (ops/sampling.py:78)."""
+    return jnp.where(x < 0.5, 2.0 * x, 1.0 / jnp.maximum(2.0 - 2.0 * x, 1e-12))
+
+
+def _contract_planes(x, y, z):
+    """mip-NeRF-360 L-inf contraction on [R, T] coordinate planes.
+
+    Mirrors ops/sampling.py:contract including the argmax-first tie-break
+    (x wins over y wins over z)."""
+    ax, ay, az = jnp.abs(x), jnp.abs(y), jnp.abs(z)
+    mag = jnp.maximum(jnp.maximum(ax, ay), az)
+    inv = 1.0 / jnp.maximum(mag, 1e-12)
+    dom = (2.0 - inv) * inv
+    is_x = ax == mag
+    is_y = (ay == mag) & ~is_x
+    is_z = ~(is_x | is_y)
+    inside = mag < 1.0
+    cx = jnp.where(inside, x, x * jnp.where(is_x, dom, inv))
+    cy = jnp.where(inside, y, y * jnp.where(is_y, dom, inv))
+    cz = jnp.where(inside, z, z * jnp.where(is_z, dom, inv))
+    return cx, cy, cz
+
+
+def _cummat(T: int, strict: bool):
+    """Triangular ones matrix so that x @ M = cumsum over lanes (MXU)."""
+    i = _iota2((T, T), 0)
+    j = _iota2((T, T), 1)
+    return ((i < j) if strict else (i <= j)).astype(jnp.float32)
+
+
+def _resample(weights_prev, bins_prev, K: int, u_jitter=None):
+    """Inverse-CDF resampling to K new s-space edges.
+
+    weights_prev: [R, T0]; bins_prev: [R, T0+1] (or None = uniform [0,1]);
+    u_jitter: optional [R, K] stratified offsets (the perturb path — adds
+    the same (uniform-0.5)/K draw ops/sampling.py:sample_pdf uses, so the
+    fast path matches the XLA path bit-for-bit given the same key).
+    Without jitter this is exactly sample_pdf with key=None: gather-free —
+    the piecewise-linear inverse CDF F^-1(u) = b0 + sum_i db_i *
+    clamp((u - c_i)/dc_i, 0, 1) evaluates as one [R, K, T0] broadcast with
+    a lane reduction."""
+    R, T0 = weights_prev.shape
+    w = weights_prev + 0.01
+    pdf = w / jnp.sum(w, axis=1, keepdims=True)
+    cum = jnp.dot(pdf, _cummat(T0, strict=False),
+                  preferred_element_type=jnp.float32,
+                  precision=jax.lax.Precision.HIGHEST)
+    cdf = jnp.concatenate(
+        [jnp.zeros((R, 1), jnp.float32), jnp.minimum(cum, 1.0)], axis=1)
+    c_lo = cdf[:, :T0]  # [R, T0]
+    dc = cdf[:, 1:] - c_lo
+    recip = 1.0 / jnp.maximum(dc, 1e-12)
+    # u_j = (j + 0.5)/K, j = 0..K-1 (linspace(0.5/K, 1-0.5/K, K))
+    u = (_iota2((1, K, 1), 1).astype(jnp.float32) + 0.5) / K
+    if u_jitter is not None:
+        # lane->sublane pivot: reshape keeps the lane dim, then the trailing
+        # transpose is supported (Mosaic rejects the direct [R,K]->[R,K,1])
+        u = u + jnp.transpose(u_jitter.reshape(R, 1, K), (0, 2, 1))
+    # [R, K, T0]: contribution of interval i to edge j, lanes = T0
+    frac = jnp.clip((u - c_lo[:, None, :]) * recip[:, None, :], 0.0, 1.0)
+    if bins_prev is None:
+        return jnp.sum(frac, axis=2) / T0  # uniform: b0=0, db=1/T0
+    db = bins_prev[:, 1:] - bins_prev[:, :-1]
+    return bins_prev[:, 0:1] + jnp.sum(frac * db[:, None, :], axis=2)
 
 
 def _level_body(rays, bins, R: int, T: int, contract: bool):
@@ -60,10 +128,16 @@ def _store_planes(x3_ref, cx, cy, cz):
     x3_ref[2] = cz
 
 
-def _ray0_kernel(R: int, T: int, contract: bool):
-    def kernel(rays_ref, bins_ref, ts_ref, dl_ref, x3_ref):
+def _ray0_kernel(R: int, T: int, contract: bool, jittered: bool):
+    def kernel(rays_ref, *refs):
+        jit_ref, (bins_ref, ts_ref, dl_ref, x3_ref) = (
+            (refs[0], refs[1:]) if jittered else (None, refs))
         rays = rays_ref[:]
         bins = _iota2((R, T + 1), 1).astype(jnp.float32) / T
+        if jittered:
+            # matches ops/sampling.py:uniform_bins with a key: per-edge
+            # (uniform-0.5)/T offsets, clipped back into [0, 1]
+            bins = jnp.clip(bins + jit_ref[:], 0.0, 1.0)
         ts, dl, cx, cy, cz = _level_body(rays, bins, R, T, contract)
         bins_ref[:] = bins
         ts_ref[:] = ts
@@ -73,12 +147,15 @@ def _ray0_kernel(R: int, T: int, contract: bool):
     return kernel
 
 
-def _ray_kernel(R: int, T0: int, T: int, contract: bool, uniform_prev: bool):
-    def kernel(rays_ref, wprev_ref, bprev_ref, bins_ref, ts_ref, dl_ref,
-               x3_ref):
+def _ray_kernel(R: int, T0: int, T: int, contract: bool, uniform_prev: bool,
+                jittered: bool):
+    def kernel(rays_ref, wprev_ref, bprev_ref, *refs):
+        jit_ref, (bins_ref, ts_ref, dl_ref, x3_ref) = (
+            (refs[0], refs[1:]) if jittered else (None, refs))
         rays = rays_ref[:]
         bins_prev = None if uniform_prev else bprev_ref[:]
-        bins = _resample(wprev_ref[:], bins_prev, T + 1)
+        u_jit = jit_ref[:] if jittered else None
+        bins = _resample(wprev_ref[:], bins_prev, T + 1, u_jit)
         ts, dl, cx, cy, cz = _level_body(rays, bins, R, T, contract)
         bins_ref[:] = bins
         ts_ref[:] = ts
@@ -114,24 +191,32 @@ def _pick_block(n_rays: int, block: int) -> int:
 @functools.partial(
     jax.jit, static_argnames=("T", "contract", "block_rays", "interpret"))
 def ray_level0(rays8: jax.Array, T: int, contract: bool = True,
-               block_rays: int = 512, interpret: bool = False):
-    """Level-0 geometry: uniform bins. rays8 [N, 8] = [o, d, s_near, s_far].
-    -> (bins [N, T+1], ts [N, T], dl [N, T], x3 [3, N, T])."""
+               block_rays: int = 512, interpret: bool = False,
+               jitter: Optional[jax.Array] = None):
+    """Level-0 geometry: uniform bins. rays8 [N, 8] = [o, d, s_near, s_far];
+    jitter: optional [N, T+1] per-edge offsets ((uniform-0.5)/T, the
+    perturb path). -> (bins [N, T+1], ts [N, T], dl [N, T], x3 [3, N, T])."""
     N = rays8.shape[0]
     R = _pick_block(N, block_rays)
     out_specs, out_shape = _specs(R, T, N)
     kw = {} if interpret else dict(compiler_params=pltpu.CompilerParams(
         vmem_limit_bytes=100 * 1024 * 1024))
+    in_specs = [pl.BlockSpec((R, 8), lambda i: (i, 0),
+                             memory_space=pltpu.VMEM)]
+    args = [rays8]
+    if jitter is not None:
+        in_specs.append(pl.BlockSpec((R, T + 1), lambda i: (i, 0),
+                                     memory_space=pltpu.VMEM))
+        args.append(jitter)
     return pl.pallas_call(
-        _ray0_kernel(R, T, contract),
+        _ray0_kernel(R, T, contract, jitter is not None),
         grid=(N // R,),
-        in_specs=[pl.BlockSpec((R, 8), lambda i: (i, 0),
-                               memory_space=pltpu.VMEM)],
+        in_specs=in_specs,
         out_specs=out_specs,
         out_shape=out_shape,
         interpret=interpret,
         **kw,
-    )(rays8)
+    )(*args)
 
 
 @functools.partial(
@@ -140,27 +225,36 @@ def ray_level0(rays8: jax.Array, T: int, contract: bool = True,
                      "interpret"))
 def ray_level(rays8: jax.Array, w_prev: jax.Array, bins_prev: jax.Array,
               T: int, contract: bool = True, uniform_prev: bool = False,
-              block_rays: int = 512, interpret: bool = False):
+              block_rays: int = 512, interpret: bool = False,
+              jitter: Optional[jax.Array] = None):
     """Level i>0: inverse-CDF resample against the previous level's weights,
     then geometry. `uniform_prev` marks the previous bins as the analytic
-    uniform grid (level 1), matching sample_pdf's closed form."""
+    uniform grid (level 1, only valid when level 0 was NOT jittered).
+    jitter: optional [N, T+1] stratified-u offsets ((uniform-0.5)/(T+1),
+    matching sample_pdf's perturb draw)."""
     N = rays8.shape[0]
     T0 = w_prev.shape[1]
     R = _pick_block(N, block_rays)
     out_specs, out_shape = _specs(R, T, N)
     kw = {} if interpret else dict(compiler_params=pltpu.CompilerParams(
         vmem_limit_bytes=100 * 1024 * 1024))
+    in_specs = [
+        pl.BlockSpec((R, 8), lambda i: (i, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((R, T0), lambda i: (i, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((R, T0 + 1), lambda i: (i, 0),
+                     memory_space=pltpu.VMEM),
+    ]
+    args = [rays8, w_prev, bins_prev]
+    if jitter is not None:
+        in_specs.append(pl.BlockSpec((R, T + 1), lambda i: (i, 0),
+                                     memory_space=pltpu.VMEM))
+        args.append(jitter)
     return pl.pallas_call(
-        _ray_kernel(R, T0, T, contract, uniform_prev),
+        _ray_kernel(R, T0, T, contract, uniform_prev, jitter is not None),
         grid=(N // R,),
-        in_specs=[
-            pl.BlockSpec((R, 8), lambda i: (i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((R, T0), lambda i: (i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((R, T0 + 1), lambda i: (i, 0),
-                         memory_space=pltpu.VMEM),
-        ],
+        in_specs=in_specs,
         out_specs=out_specs,
         out_shape=out_shape,
         interpret=interpret,
         **kw,
-    )(rays8, w_prev, bins_prev)
+    )(*args)
