@@ -1,12 +1,18 @@
 """The interactive segmentation frame as ONE device program, with a
-double-buffered driver.
+double-buffered driver. This IS the product path: `InteractiveSession`
+(apps/interactive.py), the GUI viewer, and bench.py all drive frames
+through `FramePipeline` — the benched loop and the user-visible loop are
+the same code (the reference's GUI loop is its product, nerf/gui.py:438-445).
 
-The reference GUI loop (nerf/gui.py:438-445 + utils.py:1243-1407) runs per
-frame: 512^2 staged RGB render -> 32^2 feature render -> SAM prompt decode
--> overlay, each a separate dispatch with host round-trips between. On a
-tunneled TPU every dispatch costs ~27 ms of relay RTT; fusing the whole
-frame into one jitted program leaves exactly one dispatch and one host
-fetch per frame.
+The reference runs per frame: 512^2 staged RGB render -> 32^2 feature
+render -> 3D-point reprojection + occlusion test (host) -> SAM prompt
+decode -> overlay (utils.py:1243-1407), each a separate dispatch with host
+round-trips between. On a tunneled TPU every dispatch costs ~27 ms of
+relay RTT; here the WHOLE frame — ray generation from the pose, RGB +
+feature renders, reprojection/occlusion of the persistent 3D click memory,
+the SAM decode, spp accumulation, display-mode transform, and mask/point
+overlays — is one jitted program. Per frame the host uploads a pose
+(64 B) and fetches uint8 pixels; everything else stays on device.
 
 `FramePipeline` additionally double-buffers: frame N+1 is dispatched
 before frame N's pixels are fetched, so device compute and the host
@@ -24,124 +30,214 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
+from sanerf_tpu.data.rays import full_frame_rays
 from sanerf_tpu.models import renderer
 from sanerf_tpu.models.fields import NerfModel
 from sanerf_tpu.models.sam import SamConfig
 from sanerf_tpu.models.sam.predictor import decode_fused
 
+#: occlusion tolerance for reprojected 3D points (utils.py:1380)
+OCCLUSION_EPS = 0.05
+
+
+def project_points_device(points3d, active, pose, intr, depth, H, W):
+    """Reproject the 3D click memory through the current camera with
+    screen-bounds + depth-occlusion tests, all on device
+    (utils.py:1357-1384 done as [K]-vector math instead of a host loop).
+
+    Returns (pts2d [K, 2] (x, y), valid [K] bool)."""
+    fx, fy, cx, cy = intr[0], intr[1], intr[2], intr[3]
+    R, t = pose[:3, :3], pose[:3, 3]
+    cam = (points3d - t) @ R  # w2c applied to row vectors
+    z = -cam[:, 2]  # positive depth along the view (OpenGL)
+    safe_z = jnp.maximum(z, 1e-6)
+    x = cam[:, 0] / safe_z * fx + cx - 0.5
+    y = -cam[:, 1] / safe_z * fy + cy - 0.5
+    on_screen = (z > 1e-6) & (x >= 0) & (x < W) & (y >= 0) & (y < H)
+    ix = jnp.clip(jnp.round(x).astype(jnp.int32), 0, W - 1)
+    iy = jnp.clip(jnp.round(y).astype(jnp.int32), 0, H - 1)
+    d = depth[iy, ix]  # K tiny gathers
+    valid = on_screen & (jnp.abs(z - d) <= OCCLUSION_EPS) & (active > 0)
+    return jnp.stack([x, y], axis=-1), valid
+
 
 @functools.partial(
     jax.jit,
     static_argnames=("model", "sam_cfg", "hw", "feat_hw", "input_hw",
-                     "with_mask_overlay"),
+                     "mode", "perturb", "with_overlay"),
+    donate_argnames=("acc",),
 )
 def _frame_program(
     model: NerfModel,
     params,
     sam_cfg: Optional[SamConfig],
     sam_params,
-    rays_o, rays_d,          # [H*W, 3] full-res
-    rays_o_lr, rays_d_lr,    # [h*w, 3] feature-res (ignored without SAM)
-    clicks,                  # [1, K, 2] f32 (padded; label -1 = inactive)
-    click_labels,            # [1, K] i32
+    pose,            # [4, 4] c2w
+    intr,            # [4] intrinsics at the render resolution
+    points3d,        # [K, 3] persistent 3D click memory (padded)
+    points_active,   # [K] i32 (1 = slot in use)
+    aabb,            # [6] live inference box
+    bg_color,        # scalar
+    acc,             # [H, W, 3] f32 running sum of raw frames (spp)
+    spp,             # [] i32 frames already in acc (0 = restart)
+    key,             # PRNG key (used when perturb)
     hw: Tuple[int, int],
     feat_hw: Tuple[int, int],
     input_hw: Tuple[int, int],
-    with_mask_overlay: bool,
+    mode: str,             # 'image' | 'depth'
+    perturb: bool,
+    with_overlay: bool,
 ):
     H, W = hw
-    out = renderer.run_rays(model, params, rays_o, rays_d, bg_color=1.0)
+    rays_o, rays_d = full_frame_rays(pose, intr, H, W)
+    out = renderer.run_rays(
+        model, params, rays_o, rays_d, key if perturb else None,
+        perturb=perturb, bg_color=bg_color, aabb=aabb)
     img = out["image"].reshape(H, W, 3)
+    depth = out["depth"].reshape(H, W)
+
+    # spp accumulation on-device (gui.py:185-190): acc holds the SUM of raw
+    # frames; spp==0 restarts without uploading a zero buffer
+    live = (spp > 0).astype(jnp.float32)
+    acc_new = acc * live + img
+    disp = acc_new / (spp + 1).astype(jnp.float32)
+
+    # 3D click memory -> 2D prompts (device-side reprojection + occlusion)
+    pts2d, valid = project_points_device(
+        points3d, points_active, pose, intr, depth, H, W)
+
     mask = None
     if sam_cfg is not None:
         h, w = feat_hw
-        feat = renderer.run_rays(model, params, rays_o_lr, rays_d_lr,
-                                 return_feats=True)
+        # feature intrinsics derive from the render intrinsics; the ratio
+        # h/H makes this downscale-invariant (fx_ds * h/H_ds == fx_full*h/H)
+        intr_lr = jnp.asarray(
+            [intr[0] * h / H, intr[1] * w / W, w / 2.0, h / 2.0], jnp.float32)
+        ro_lr, rd_lr = full_frame_rays(pose, intr_lr, h, w)
+        feat = renderer.run_rays(model, params, ro_lr, rd_lr,
+                                 return_feats=True, aabb=aabb)
         fv = feat["samvit"].reshape(h, w, -1)
+        labels = jnp.where(valid, 1, -1).astype(jnp.int32)[None]  # [1, K]
         masks, _iou = decode_fused(
-            sam_cfg, sam_params, fv, clicks, click_labels,
+            sam_cfg, sam_params, fv, pts2d[None], labels,
             feat_hw=feat_hw, out_hw=hw, input_hw=input_hw,
         )
-        mask = masks[0, 0] > 0.0  # [H, W] bool
-        # no-active-click frames render without a mask
-        any_click = jnp.any(click_labels >= 0)
-        mask = jnp.logical_and(mask, any_click)
-        if with_mask_overlay:
+        mask = jnp.logical_and(masks[0, 0] > 0.0, jnp.any(valid))
+
+    if mode == "depth":
+        # grayscale depth display (gui.py:252-258 display-mode radio)
+        dnorm = depth / jnp.maximum(jnp.max(depth), 1e-6)
+        disp = jnp.repeat(dnorm[..., None], 3, axis=-1)
+
+    if with_overlay:
+        if mask is not None:
             overlay = jnp.asarray([0.2, 0.45, 0.9], jnp.float32)
-            img = jnp.where(mask[..., None], 0.5 * img + 0.5 * overlay, img)
-    u8 = (jnp.clip(img, 0.0, 1.0) * 255.0).astype(jnp.uint8)
-    depth = out["depth"].reshape(H, W)
-    return u8, depth, mask
+            disp = jnp.where(mask[..., None], 0.5 * disp + 0.5 * overlay, disp)
+        # red click markers (5x5), drawn on device (the host never needs
+        # the projected points except on a click)
+        ii = jnp.arange(W, dtype=jnp.float32)[None, None, :]
+        jj = jnp.arange(H, dtype=jnp.float32)[None, :, None]
+        px = pts2d[:, 0][:, None, None]
+        py = pts2d[:, 1][:, None, None]
+        marker = jnp.any(
+            (jnp.abs(ii - px) <= 2) & (jnp.abs(jj - py) <= 2)
+            & valid[:, None, None], axis=0)
+        disp = jnp.where(marker[..., None],
+                         jnp.asarray([1.0, 0.2, 0.2], jnp.float32), disp)
+
+    u8 = (jnp.clip(disp, 0.0, 1.0) * 255.0).astype(jnp.uint8)
+    return u8, depth, mask, acc_new, pts2d, valid
 
 
 class FramePipeline:
-    """Double-buffered interactive frame driver.
+    """Double-buffered interactive frame driver over `_frame_program`.
 
     pipeline = FramePipeline(model, params, sam_cfg, sam_params, H, W, h, w)
-    u8, depth, mask = pipeline.render(ro, rd, ro_lr, rd_lr, clicks, labels)
+    frame = pipeline.render(pose, intr, points3d, active, ...)
 
     `render` dispatches the new frame, then fetches the PREVIOUS frame's
     pixels — one frame of latency for ~2x throughput through a relay.
     `render_sync` fetches the same frame (no added latency) for callers
-    that need it.
+    that need it. Both return
+    (u8 [H, W, 3] np, depth (device), mask (device|None),
+     pts2d (device [K, 2]), valid (device [K])).
     """
 
     def __init__(self, model, params, sam_cfg, sam_params, H, W, h=32, w=32,
-                 max_clicks: int = 8, overlay: bool = True):
+                 max_points: int = 8, overlay: bool = True):
         self.model = model
         self.params = params
         self.sam_cfg = sam_cfg
         self.sam_params = sam_params
         self.hw = (H, W)
         self.feat_hw = (h, w)
-        nh = int(round(max(h, w) * 64 / max(h, w))) * 16
-        self.input_hw = (nh, nh)
-        self.max_clicks = max_clicks
+        grid = 64 if sam_cfg is None else sam_cfg.prompt.image_embedding_size[0]
+        scale = grid / max(h, w)
+        self.input_hw = (int(round(h * scale)) * 16, int(round(w * scale)) * 16)
+        self.max_points = max_points
         self.overlay = overlay
         self._pending = None
+        self._acc = jnp.zeros((H, W, 3), jnp.float32)
+        self.dispatch_count = 0  # tests assert one dispatch per frame
 
-    def _pad_clicks(self, clicks, labels):
-        k = self.max_clicks
-        c = np.zeros((1, k, 2), np.float32)
-        l = np.full((1, k), -1, np.int32)
-        n = 0 if clicks is None else min(len(clicks), k)
+    def pad_points(self, points3d, active_count=None):
+        """Host 3D point list -> padded device arrays ([K, 3], [K] i32)."""
+        k = self.max_points
+        p = np.zeros((k, 3), np.float32)
+        a = np.zeros((k,), np.int32)
+        n = 0 if points3d is None else min(len(points3d), k)
         if n:
-            c[0, :n] = np.asarray(clicks, np.float32)[:n]
-            l[0, :n] = np.asarray(labels, np.int32)[:n]
-        return jnp.asarray(c), jnp.asarray(l)
+            p[:n] = np.asarray(points3d, np.float32)[:n]
+            a[:n] = 1
+        return jnp.asarray(p), jnp.asarray(a)
 
-    def _dispatch(self, ro, rd, ro_lr, rd_lr, clicks, labels):
-        c, l = self._pad_clicks(clicks, labels)
-        return _frame_program(
+    def _dispatch(self, pose, intr, points3d, active, aabb, bg_color, spp,
+                  key, mode, perturb):
+        self.dispatch_count += 1
+        u8, depth, mask, self._acc, pts2d, valid = _frame_program(
             self.model, self.params, self.sam_cfg, self.sam_params,
-            ro, rd, ro_lr, rd_lr, c, l,
-            self.hw, self.feat_hw, self.input_hw, self.overlay,
+            pose, intr, points3d, active, aabb, bg_color,
+            self._acc, spp, key,
+            hw=self.hw, feat_hw=self.feat_hw, input_hw=self.input_hw,
+            mode=mode, perturb=perturb, with_overlay=self.overlay,
         )
+        return u8, depth, mask, pts2d, valid
 
     @staticmethod
     def _fetch(frame):
-        """Fetch ONLY the display pixels; depth/mask stay on-device.
+        """Fetch ONLY the display pixels; everything else stays on-device.
 
         Host transfers serialize with device compute through the relay
         (profiled: fetching depth f32 + mask alongside the uint8 frame cost
         ~50 ms/frame — the u8-only fetch runs at device speed). Depth is
         needed on the host only when a click lifts to 3D, the mask only for
         export — callers np.asarray() those lazily."""
-        u8, depth, mask = frame
-        return np.asarray(u8), depth, mask
+        u8, depth, mask, pts2d, valid = frame
+        # overlap the relay RTTs of the (tiny) point fetches with the pixel
+        # fetch instead of paying one round trip per np.asarray
+        for a in (u8, pts2d, valid):
+            try:
+                a.copy_to_host_async()
+            except AttributeError:
+                pass
+        return np.asarray(u8), depth, mask, pts2d, valid
 
-    def render(self, ro, rd, ro_lr=None, rd_lr=None, clicks=None, labels=None):
+    def render(self, pose, intr, points3d=None, active=None, aabb=None,
+               bg_color=1.0, spp=0, key=None, mode="image", perturb=False):
         """Pipelined: dispatch this frame, return the previous one (or this
         one on the first call)."""
-        new = self._dispatch(ro, rd, ro_lr, rd_lr, clicks, labels)
+        new = self._dispatch(pose, intr, points3d, active, aabb, bg_color,
+                             spp, key, mode, perturb)
         prev, self._pending = self._pending, new
         return self._fetch(prev if prev is not None else new)
 
-    def render_sync(self, ro, rd, ro_lr=None, rd_lr=None, clicks=None,
-                    labels=None):
+    def render_sync(self, pose, intr, points3d=None, active=None, aabb=None,
+                    bg_color=1.0, spp=0, key=None, mode="image",
+                    perturb=False):
         self._pending = None
-        return self._fetch(
-            self._dispatch(ro, rd, ro_lr, rd_lr, clicks, labels))
+        return self._fetch(self._dispatch(
+            pose, intr, points3d, active, aabb, bg_color, spp, key, mode,
+            perturb))
 
     def flush(self):
         if self._pending is not None:

@@ -69,14 +69,12 @@ class HeadlessViewer:
         self.mode = "image"  # 'image' | 'depth'
         self.max_spp = int(getattr(cfg, "max_spp", 1) or 1)
         self.spp = 0
-        self._acc = None
         self._need_update = True
 
     def mark_dirty(self):
         """Camera/state changed: restart spp accumulation."""
         self._need_update = True
         self.spp = 0
-        self._acc = None
 
     def start_training(self):
         self.training = (self.trainer is not None
@@ -91,6 +89,12 @@ class HeadlessViewer:
 
     def frame(self, click=None):
         t0 = time.time()
+        # reference loop gate (gui.py:143-145): once spp hit max_spp and
+        # nothing changed, skip re-rendering entirely
+        if (not self._need_update and not self.training and click is None
+                and 1 < self.max_spp <= self.spp
+                and getattr(self, "_last_result", None) is not None):
+            return self._last_result
         if self.training:
             tt0 = time.time()
             for _ in range(self.ctrl.train_steps):
@@ -107,31 +111,28 @@ class HeadlessViewer:
             self.ctrl.update_train_steps((time.time() - tt0) * 1e3)
             self.session.params = self.trainer.eval_params()
         # spp accumulation (gui.py:185-190): while the camera is static,
-        # keep averaging perturbed renders up to max_spp
+        # keep averaging perturbed renders up to max_spp — the running mean
+        # lives ON DEVICE inside `_frame_program` (acc buffer); the host
+        # only counts frames and supplies a fresh jitter key per sample
         accumulate = (not self._need_update and not self.training
                       and click is None and self.max_spp > 1
                       and self.spp < self.max_spp)
         key = None
+        spp = 0
         if accumulate and self.spp > 0:
             import jax
 
             key = jax.random.key(self.spp)
+            spp = self.spp
         result = self.session.step(
             self.camera.pose, self.camera.intrinsics, click=click,
             downscale=self.ctrl.downscale, aabb=self.aabb,
-            bg_color=self.bg_color, mode=self.mode, key=key,
+            bg_color=self.bg_color, mode=self.mode, key=key, spp=spp,
         )
         if self.max_spp > 1:
-            if self._acc is None or not accumulate:
-                self._acc = result.composed.astype(np.float32)
-                self.spp = 1
-            else:
-                self.spp += 1
-                self._acc += (result.composed - self._acc) / self.spp
-            import dataclasses as _dc
-
-            result = _dc.replace(result, composed=self._acc)
+            self.spp = self.spp + 1 if accumulate else 1
         self._need_update = False
+        self._last_result = result
         dt_ms = (time.time() - t0) * 1e3
         self.ctrl.update_downscale(dt_ms)
         self.fps = 1000.0 / max(dt_ms, 1e-3)

@@ -1,46 +1,47 @@
 """Interactive 3D segmentation session: the north-star loop.
 
 Rebuild of the reference's interactive path (SURVEY.md §3.3,
-utils.py:1243-1475 + gui.py state): per frame,
+utils.py:1243-1475 + gui.py state). Per frame,
 
-1. render the RGB frame (staged) + the low-res SAM feature map;
-2. a click lifts the pixel to 3D through the rendered depth
-   (p = o + d * depth) and toggles against the persistent 3D point list
-   (distance < 0.01 removes, else appends, utils.py:1318-1345);
-3. every frame, all 3D points reproject through the current camera
-   (w2c pinhole with the x-flip, utils.py:1357-1366) and are kept only if
-   on-screen and unoccluded (|z - depth| <= 0.05, utils.py:1368-1384);
-4. the surviving 2D points prompt the SAM decoder on the rendered features
-   (the fake-set_image injection, utils.py:1409-1475);
-5. the mask overlays the RGB frame.
+1. the persistent 3D click memory reprojects through the current camera
+   (w2c pinhole with the x-flip, utils.py:1357-1366) with screen-bounds
+   and depth-occlusion tests (|z - depth| <= 0.05, utils.py:1368-1384);
+2. surviving 2D points prompt the SAM decoder on the low-res rendered
+   feature map (the fake-set_image injection, utils.py:1409-1475);
+3. the mask + point markers overlay the RGB frame.
 
-Headless by design: the GUI (apps/gui.py) is a thin view over this session,
-so the same loop runs in tests and benchmarks without a display.
+All of that runs inside ONE device program per frame
+(`apps/frame_pipeline.py:_frame_program`), double-buffered — the host
+uploads a pose and fetches uint8 pixels. Host-side state is only the 3D
+point list itself: a click lifts the pixel to 3D through the previous
+frame's depth (fetched lazily, p = o + d * depth) and toggles against the
+list (utils.py:1318-1345).
+
+Headless by design: the GUI (apps/gui.py) is a thin view over this
+session, so the same loop runs in tests, benchmarks, and the window.
 """
 
 from __future__ import annotations
 
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 from typing import List, Optional, Tuple
 
 import jax
-import jax.numpy as jnp
 import numpy as np
 
 from sanerf_tpu.config import Config
-from sanerf_tpu.data.rays import full_frame_rays
-from sanerf_tpu.models import renderer
+from sanerf_tpu.apps.frame_pipeline import FramePipeline
 from sanerf_tpu.models.fields import NerfModel, Params
 from sanerf_tpu.utils.camera import fov_to_focal
 
 
 @dataclass
 class FrameResult:
-    rgb: np.ndarray  # [H, W, 3]
-    depth: np.ndarray  # [H, W]
-    mask: Optional[np.ndarray] = None  # [H, W] bool
-    points_2d: Optional[np.ndarray] = None  # [P, 2] (x, y)
-    composed: Optional[np.ndarray] = None  # rgb with overlays
+    rgb: np.ndarray  # [H, W, 3] display image (mode + overlays applied)
+    depth: np.ndarray  # [H/ds, W/ds] DEVICE array — np.asarray() lazily
+    mask: Optional[np.ndarray] = None  # [H/ds, W/ds] bool DEVICE array
+    points_2d: Optional[np.ndarray] = None  # [P, 2] full-res (x, y), host
+    composed: Optional[np.ndarray] = None  # alias of rgb (overlay included)
 
 
 class InteractiveSession:
@@ -55,47 +56,34 @@ class InteractiveSession:
         self.h = max(4, int(H / 1024 * 64))
         self.w = max(4, int(W / 1024 * 64))
         self.points_3d: List[np.ndarray] = []  # persistent click memory
+        self._pipes = {}  # (H, W) -> FramePipeline (one per downscale)
+        self._last_depth = None  # device depth of the latest dispatched frame
+        self._last_ds = 1
 
-    # -- rendering -------------------------------------------------------------
+    @property
+    def dispatch_count(self) -> int:
+        return sum(p.dispatch_count for p in self._pipes.values())
 
-    def render_frame(self, pose: np.ndarray, intrinsics: np.ndarray,
-                     downscale: int = 1, aabb=None, bg_color: float = 1.0,
-                     key=None) -> Tuple[np.ndarray, np.ndarray]:
-        """RGB + depth at (H/downscale, W/downscale), upscaled back
-        (dynamic-resolution mode, utils.py:1698-1702). `aabb` is the live
-        GUI-editable inference box (gui.py:317-320), `key` enables
-        perturbed sampling for spp accumulation (gui.py:185-190)."""
-        H, W = self.H // downscale, self.W // downscale
-        intr = np.asarray(intrinsics, np.float32) / downscale
-        ro, rd = full_frame_rays(jnp.asarray(pose), jnp.asarray(intr), H, W)
-        out = renderer.render_frame(
-            self.model, self.params, ro, rd, bg_color=bg_color,
-            aabb=None if aabb is None else jnp.asarray(aabb, jnp.float32),
-            key=key)
-        rgb = np.asarray(out["image"]).reshape(H, W, 3)
-        depth = np.asarray(out["depth"]).reshape(H, W)
-        if downscale > 1:
-            import cv2
-
-            rgb = cv2.resize(rgb, (self.W, self.H), interpolation=cv2.INTER_LINEAR)
-            depth = cv2.resize(depth, (self.W, self.H), interpolation=cv2.INTER_NEAREST)
-        return rgb, depth
-
-    def render_features(self, pose: np.ndarray, intrinsics: np.ndarray) -> np.ndarray:
-        """Low-res SAM feature map [h, w, 256] (utils.py:1308-1315)."""
-        intr = np.asarray(intrinsics, np.float32) * (self.h / self.H)
-        intr[2] = self.w / 2
-        intr[3] = self.h / 2
-        ro, rd = full_frame_rays(jnp.asarray(pose), jnp.asarray(intr), self.h, self.w)
-        out = renderer.render_rays(self.model, self.params, ro, rd, return_feats=True)
-        return np.asarray(out["samvit"]).reshape(self.h, self.w, -1)
+    def _pipe(self, Hs: int, Ws: int) -> FramePipeline:
+        pipe = self._pipes.get((Hs, Ws))
+        if pipe is None:
+            sam_cfg = None if self.sam is None else self.sam.cfg
+            sam_params = None if self.sam is None else self.sam.params
+            pipe = FramePipeline(self.model, self.params, sam_cfg, sam_params,
+                                 Hs, Ws, self.h, self.w)
+            self._pipes[(Hs, Ws)] = pipe
+        pipe.params = self.params  # live-training updates flow through
+        return pipe
 
     # -- 3D point memory ---------------------------------------------------------
 
-    def toggle_point(self, px: float, py: float, pose: np.ndarray, depth: np.ndarray,
-                     pixel_radius: float = 8.0):
+    def toggle_point(self, px: float, py: float, pose: np.ndarray,
+                     depth: np.ndarray, pixel_radius: float = 8.0,
+                     depth_scale: int = 1):
         """Click at pixel (px, py): lift to 3D and toggle (utils.py:1318-1345).
 
+        `depth` may be at a downscaled resolution (`depth_scale`); the lift
+        uses full-res intrinsics so the 3D point is scale-invariant.
         Removal matches in SCREEN space first (within `pixel_radius` px of an
         existing point's reprojection): the reference's 0.01 world-distance
         test assumes full-resolution depth, but under the adaptive-downscale
@@ -110,7 +98,9 @@ class InteractiveSession:
             if k >= 0 and d2[k] < pixel_radius:
                 self.points_3d.pop(k)
                 return
-        j, i = int(np.clip(py, 0, self.H - 1)), int(np.clip(px, 0, self.W - 1))
+        depth = np.asarray(depth)
+        j = int(np.clip(py / depth_scale, 0, depth.shape[0] - 1))
+        i = int(np.clip(px / depth_scale, 0, depth.shape[1] - 1))
         d = float(depth[j, i])
         if d <= 0:
             return
@@ -139,73 +129,78 @@ class InteractiveSession:
         f = fov_to_focal(60.0, self.H)
         return np.array([f, f, self.W / 2, self.H / 2], np.float32)
 
-    def project_points(self, pose: np.ndarray, intrinsics: np.ndarray,
-                       depth: np.ndarray) -> np.ndarray:
-        """Reproject the 3D memory into the current view with screen-bounds
-        and depth-occlusion tests (utils.py:1357-1384). Returns [P, 2]."""
-        if not self.points_3d:
-            return np.zeros((0, 2), np.float32)
-        fx, fy, cx, cy = intrinsics
-        w2c_R = pose[:3, :3].T
-        pts = np.stack(self.points_3d)  # [P, 3]
-        cam = (pts - pose[:3, 3]) @ w2c_R.T  # camera frame (OpenGL)
-        z = -cam[:, 2]  # positive depth along the view
-        valid = z > 1e-6
-        x = cam[:, 0] / np.maximum(z, 1e-6) * fx + cx - 0.5
-        y = -cam[:, 1] / np.maximum(z, 1e-6) * fy + cy - 0.5
-        on_screen = (x >= 0) & (x < self.W) & (y >= 0) & (y < self.H) & valid
-        keep = []
-        for k in range(len(pts)):
-            if not on_screen[k]:
-                continue
-            d = depth[int(y[k]), int(x[k])]
-            if abs(z[k] - d) <= 0.05:  # occlusion test (utils.py:1380)
-                keep.append([x[k], y[k]])
-        return np.asarray(keep, np.float32).reshape(-1, 2)
-
     # -- the frame loop -----------------------------------------------------------
 
     def step(self, pose: np.ndarray, intrinsics: Optional[np.ndarray] = None,
              click: Optional[Tuple[float, float]] = None,
              downscale: int = 1, aabb=None, bg_color: float = 1.0,
-             mode: str = "image", key=None) -> FrameResult:
-        """One interactive frame: render, (optional) click, reproject,
-        segment, overlay (the test_step flow, utils.py:1243-1407).
+             mode: str = "image", key=None, spp: int = 0,
+             pipelined: bool = True) -> FrameResult:
+        """One interactive frame = ONE device dispatch (the test_step flow,
+        utils.py:1243-1407, fused into `_frame_program`).
+
         `mode`: 'image' or 'depth' (the GUI display-mode radio,
-        gui.py:252-258)."""
+        gui.py:252-258). `key` enables perturbed sampling; `spp` is the
+        number of frames already accumulated on device (0 restarts).
+        `pipelined=False` fetches the frame it dispatches (no latency
+        pipelining) — used when the caller needs this exact frame.
+        """
         intr = (np.asarray(intrinsics, np.float32) if intrinsics is not None
                 else self.intrinsics_for(pose))
-        rgb, depth = self.render_frame(pose, intr, downscale, aabb=aabb,
-                                       bg_color=bg_color, key=key)
-        if mode == "depth":
-            d = depth / max(float(depth.max()), 1e-6)
-            rgb = np.repeat(d[..., None], 3, axis=-1).astype(np.float32)
+        ds = max(1, int(downscale))
+        Hs, Ws = max(1, self.H // ds), max(1, self.W // ds)
+        intr_ds = intr / ds
+        pipe = self._pipe(Hs, Ws)
 
         if click is not None:
-            self.toggle_point(click[0], click[1], pose, depth)
+            # lift through the previous frame's depth (fetched only now);
+            # first click with no frame yet renders one synchronously
+            if (self._last_depth is None
+                    or self._last_depth.shape != (Hs, Ws)):
+                p3, act = pipe.pad_points(self.points_3d)
+                out = pipe.render_sync(pose, intr_ds, p3, act, aabb=aabb,
+                                       bg_color=bg_color, mode=mode)
+                self._last_depth = out[1]
+            self.toggle_point(click[0], click[1], pose,
+                              np.asarray(self._last_depth),
+                              depth_scale=ds)
 
+        p3, act = pipe.pad_points(self.points_3d)
+        # click frames fetch synchronously: the double-buffered previous
+        # frame predates the toggle, and a click deserves immediate feedback
+        render = (pipe.render if pipelined and click is None
+                  else pipe.render_sync)
+        u8, depth_dev, mask_dev, pts2d_dev, valid_dev = render(
+            pose, intr_ds, p3, act, aabb=aabb, bg_color=bg_color,
+            spp=spp, key=key, mode=mode, perturb=key is not None)
+        self._last_depth = depth_dev
+        self._last_ds = ds
+
+        rgb = u8.astype(np.float32) / 255.0
+        if ds > 1:
+            import cv2
+
+            rgb = cv2.resize(rgb, (self.W, self.H),
+                             interpolation=cv2.INTER_LINEAR)
+
+        pts2d = np.zeros((0, 2), np.float32)
         mask = None
-        pts2d = self.project_points(pose, intr, depth)
-        if len(pts2d) and self.sam is not None:
-            feats = self.render_features(pose, intr)
-            self.sam.set_features(feats, self.H, self.W)
-            masks, iou, _ = self.sam.predict(
-                pts2d, np.ones(len(pts2d), np.int32), multimask_output=False
-            )
-            mask = masks[0]
-
-        composed = overlay_mask_and_points(rgb, mask, pts2d)
-        return FrameResult(rgb=rgb, depth=depth, mask=mask, points_2d=pts2d,
-                           composed=composed)
+        if self.points_3d:
+            valid = np.asarray(valid_dev).astype(bool)
+            pts2d = np.asarray(pts2d_dev)[valid] * ds  # full-res coords
+            mask = mask_dev  # device array; np.asarray() on demand
+        return FrameResult(rgb=rgb, depth=depth_dev, mask=mask,
+                           points_2d=pts2d, composed=rgb)
 
 
 def overlay_mask_and_points(rgb: np.ndarray, mask: Optional[np.ndarray],
                             pts2d: np.ndarray) -> np.ndarray:
-    """Blend the mask (utils.py:1396-1399 overlay_mask/overlay_point)."""
+    """Host-side overlay (utils.py:1396-1399) — kept for offline tools;
+    the interactive path draws overlays inside `_frame_program`."""
     out = rgb.copy()
     if mask is not None:
         color = np.array([0.2, 0.5, 1.0], np.float32)
-        out[mask] = 0.5 * out[mask] + 0.5 * color
+        out[np.asarray(mask)] = 0.5 * out[np.asarray(mask)] + 0.5 * color
     for x, y in np.asarray(pts2d).reshape(-1, 2):
         j, i = int(y), int(x)
         out[max(0, j - 2) : j + 3, max(0, i - 2) : i + 3] = [1.0, 0.2, 0.2]
