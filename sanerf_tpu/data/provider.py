@@ -481,13 +481,16 @@ class SceneDataset:
             ).copy()
         return batch
 
-    def collate_sam(self, rng: np.random.Generator) -> Dict:
+    def collate_sam(self, rng: np.random.Generator,
+                    index: Optional[int] = None) -> Dict:
         """Stage-2 distillation frame: augmented square camera (random fovy
         50-70 deg at train, fixed 60 at eval; colmap_provider.py:989-1015) +
-        low-res feature rays with the 64/1024 SAM scale (1187-1196)."""
+        low-res feature rays with the 64/1024 SAM scale (1187-1196).
+        `index` pins the pose — the fixed-view eval protocol (the reference
+        evaluates fixed val views, utils.py:1122-1241)."""
         sc = self.cfg.sam
         res = sc.online_resolution
-        i = int(rng.integers(0, len(self.poses)))
+        i = int(rng.integers(0, len(self.poses))) if index is None else index
         pose = self.poses[i]
         if self.training and sc.pose_jittering and len(self.poses) > 1:
             # slerp between two random train poses (lerf_provider.py:261-278)

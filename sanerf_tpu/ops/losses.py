@@ -83,13 +83,16 @@ def entropy_loss(weights_sum: jax.Array) -> jax.Array:
 
 
 def label_regularization(
-    depth: jax.Array, pred_masks: jax.Array, patch_size: int, n_inst: int
+    depth: jax.Array, pred_masks: jax.Array, patch_size: int, n_inst: int,
+    axis_name=None,
 ) -> jax.Array:
     """Depth-weighted spatial smoothness of mask logits over square patches
     (utils.py:843-870).
 
     depth: [B*P*P] (or any shape reshapeable to patches), pred_masks:
-    [..., n_inst] over the same pixels.
+    [..., n_inst] over the same pixels. With `axis_name` (inside shard_map)
+    the weighted sums psum over the mesh so the sharded loss equals the
+    single-device value exactly.
     """
     pm = pred_masks.reshape(-1, patch_size, patch_size, n_inst)
     pm = jnp.transpose(pm, (0, 3, 1, 2))  # [B, I, P, P]
@@ -104,9 +107,12 @@ def label_regularization(
     wx = jnp.broadcast_to(wx, diff_x.shape)
     wy = jnp.broadcast_to(wy, diff_y.shape)
 
-    return jnp.sum(diff_x * diff_x * wx) / jnp.sum(wx) + jnp.sum(
-        diff_y * diff_y * wy
-    ) / jnp.sum(wy)
+    nx, dx_ = jnp.sum(diff_x * diff_x * wx), jnp.sum(wx)
+    ny, dy_ = jnp.sum(diff_y * diff_y * wy), jnp.sum(wy)
+    if axis_name is not None:
+        nx, dx_, ny, dy_ = (jax.lax.psum(v, axis_name)
+                            for v in (nx, dx_, ny, dy_))
+    return nx / dx_ + ny / dy_
 
 
 def rgb_similarity_loss(

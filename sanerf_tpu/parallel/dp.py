@@ -95,15 +95,141 @@ def make_dp_train_step(
     return step
 
 
+def make_dp_sam_train_step(
+    model: NerfModel,
+    cfg,
+    mesh: Mesh,
+    trainable: Optional[Params] = None,
+    h: int = 32,
+    w: int = 32,
+    axis: str = "data",
+    with_cam_near_far: bool = False,
+):
+    """Sharded stage-2 student step (SURVEY §2.3: "batch-shard teacher
+    calls across the mesh" — here the expensive side, the student's
+    low-res feature render, shards by rays; the strips all_gather before
+    the resize+MSE; grads psum). Wraps the SAME `train.distill.sam_step_body`
+    as the single-device step."""
+    from sanerf_tpu.train.distill import sam_step_body
+
+    tx = state_lib.make_optimizer(cfg.train, trainable)
+    spec = {"rays_o_lr": P(axis), "rays_d_lr": P(axis)}
+    if with_cam_near_far:
+        spec["cam_near_far"] = P()
+
+    def body(state, batch, gt, key):
+        return sam_step_body(model, cfg, tx, state, batch, gt, key, h, w,
+                             axis_name=axis)
+
+    mapped = shard_map(
+        body, mesh=mesh,
+        in_specs=(P(), spec, P(), P()),
+        out_specs=(P(), P()),
+        check_rep=False,
+    )
+    return jax.jit(mapped, donate_argnums=(0,))
+
+
+def make_dp_mask_train_step(
+    model: NerfModel,
+    cfg,
+    mesh: Mesh,
+    trainable: Optional[Params] = None,
+    axis: str = "data",
+    batch_keys: Tuple[str, ...] = ("rays_o", "rays_d", "masks"),
+    shared_keys: Tuple[str, ...] = (),
+):
+    """Sharded stage-3 mask step around `train.mask_trainer.mask_step_body`.
+
+    The batch must be laid out per-shard by `shard_mask_batch` (globals and
+    whole patches interleaved per chip); `num_global` passed to the returned
+    step is the PER-CHIP global-ray count. Input specs derive from the
+    actual batch keys per signature (`shared_keys` replicate; everything
+    else shards on the ray axis)."""
+    from sanerf_tpu.train.mask_trainer import mask_step_body
+
+    tx = state_lib.make_optimizer(cfg.train, trainable)
+    shared = set(shared_keys) | {"cam_near_far"}
+
+    def build(num_global: int, use_similarity: bool, keys: Tuple[str, ...]):
+        spec = {k: (P() if k in shared else P(axis)) for k in keys}
+
+        def body(state, batch, key):
+            return mask_step_body(model, cfg, tx, state, batch, key,
+                                  num_global, use_similarity, axis_name=axis)
+
+        aux_spec = {"loss": P(), "ce": P(), "pred": P(axis), "error": P(axis)}
+        mapped = shard_map(
+            body, mesh=mesh,
+            in_specs=(P(), spec, P()),
+            out_specs=(P(), aux_spec),
+            check_rep=False,
+        )
+        return jax.jit(mapped, donate_argnums=(0,))
+
+    cache = {}
+
+    def step(state: TrainState, batch: Dict, key: jax.Array, num_global: int,
+             use_similarity: bool):
+        sig = (num_global, bool(use_similarity), tuple(sorted(batch)))
+        if sig not in cache:
+            cache[sig] = build(*sig)
+        return cache[sig](state, batch, key)
+
+    return step
+
+
+def shard_mask_batch(batch: Dict, mesh: Mesh, num_global: int,
+                     patch_pixels: int, axis: str = "data") -> Tuple[Dict, int]:
+    """Reorder a stage-3 batch [globals | patches] into per-chip blocks
+    [g_0 p_0 | g_1 p_1 | ...] so shard_map's contiguous split gives every
+    chip its globals plus WHOLE patches, then place on the mesh.
+
+    Returns (sharded batch, per-chip num_global). Requires num_global and
+    the patch count to divide the mesh size."""
+    n = int(mesh.devices.size)
+    total = batch["masks"].shape[0]
+    n_patch_px = total - num_global
+    assert num_global % n == 0, (num_global, n)
+    assert n_patch_px % (patch_pixels * n) == 0 or n_patch_px == 0, (
+        n_patch_px, patch_pixels, n)
+    gn = num_global // n
+    ln = n_patch_px // n
+    out = {}
+    for k, v in batch.items():
+        if not hasattr(v, "shape") or np.ndim(v) < 1 or v.shape[0] != total:
+            # shared metadata (cam_near_far [1,2], scalars) replicates
+            if hasattr(v, "shape"):
+                out[k] = jax.device_put(
+                    jnp.asarray(v), jax.sharding.NamedSharding(mesh, P()))
+            continue
+        g, l = np.asarray(v[:num_global]), np.asarray(v[num_global:])
+        parts = []
+        for i in range(n):
+            parts.append(g[i * gn:(i + 1) * gn])
+            parts.append(l[i * ln:(i + 1) * ln])
+        arr = jnp.asarray(np.concatenate(parts, axis=0))
+        out[k] = jax.device_put(
+            arr, jax.sharding.NamedSharding(mesh, P(axis)))
+    return out, gn
+
+
 def make_dp_render(model: NerfModel, mesh: Mesh, axis: str = "data",
                    with_cam_near_far: bool = False, **render_kwargs):
     """Sharded full-frame inference: rays split over chips, results
     concatenated on the ray axis (replaces the reference's eval all_gather,
     utils.py:1919-1943). Ray count must divide the mesh size — pad frames
     to a multiple of (chips * tile). With `with_cam_near_far` the returned
-    fn takes a shared [1, 2] near/far (replicated)."""
+    fn takes a shared [1, 2] near/far (replicated). `return_feats` /
+    `return_mask` in render_kwargs shard their extra outputs too (the
+    round-2 `simple` gate is gone — feature/mask eval frames render
+    sharded as well)."""
 
     out_spec = {"image": P(axis), "depth": P(axis), "weights_sum": P(axis)}
+    if render_kwargs.get("return_feats"):
+        out_spec["samvit"] = P(axis)
+    if render_kwargs.get("return_mask"):
+        out_spec["instance_mask_logits"] = P(axis)
 
     if with_cam_near_far:
         def shard_fn(params: Params, rays_o, rays_d, cnf):

@@ -35,10 +35,112 @@ from sanerf_tpu.train.trainer import Trainer, _device_batch
 from sanerf_tpu.train.metrics import MeanIoUMeter
 
 
-def make_mask_train_step(model: NerfModel, cfg: Config, trainable: Optional[Params]):
-    tx = state_lib.make_optimizer(cfg.train, trainable)
+def mask_step_body(model: NerfModel, cfg: Config, tx, state: TrainState,
+                   batch: Dict, key: jax.Array, num_global: int,
+                   use_similarity: bool, axis_name: Optional[str] = None):
+    """One stage-3 optimization step (pure; jit/shard_map applied by the
+    callers). Under `axis_name` the batch is PER-SHARD (num_global and
+    num_local_sample are the per-chip counts; parallel/dp.py interleaves
+    [globals_i, patches_i] per chip so every shard sees whole patches):
+
+    - the CE normalizes by the GLOBAL labeled-pixel count (psum of the
+      numerator and denominator), so every chip computes the identical
+      global loss and gradients PSUM exactly;
+    - label_regularization psums its weighted sums the same way;
+    - rgb_similarity decorrelates its anchor sampling per shard (fold_in)
+      and pmeans — equal patch counts per chip make that the global mean.
+    """
     mc = cfg.mask
     n_inst = model.cfg.n_inst
+    sim_key = key
+    if axis_name is not None:
+        sim_key = jax.random.fold_in(key, jax.lax.axis_index(axis_name))
+
+    def loss_fn(params):
+        out = run_rays(
+            model, params, batch["rays_o"], batch["rays_d"], None,
+            training=True, return_mask=True,
+            cam_near_far=batch.get("cam_near_far"),
+        )
+        logits = out["instance_mask_logits"]  # [N, I]
+        probs = jnp.clip(jax.nn.softmax(logits, -1), mc.epsilon, 1 - mc.epsilon)
+        gt = batch["masks"]  # [N] int, -1 = unlabeled
+
+        g_probs, g_gt = probs[:num_global], gt[:num_global]
+        labeled = g_gt != -1
+        onehot = jax.nn.one_hot(jnp.maximum(g_gt, 0), n_inst)
+        nll = -jnp.log(jnp.sum(onehot * g_probs, -1))
+        nll = jnp.where(labeled, nll, 0.0)
+        if mc.incoherent_uncertainty_weight < 1 and "incoherent_masks" in batch:
+            inc = batch["incoherent_masks"][:num_global]
+            nll = (1 - inc + mc.incoherent_uncertainty_weight * inc) * nll
+        nll_sum = jnp.sum(nll)
+        n_labeled = jnp.sum(labeled)
+        if axis_name is not None:
+            nll_sum = jax.lax.psum(nll_sum, axis_name)
+            n_labeled = jax.lax.psum(n_labeled, axis_name)
+        loss = nll_sum / jnp.maximum(n_labeled, 1)
+
+        aux = {"ce": loss}
+        if mc.label_regularization_weight > 0:
+            lr_loss = label_regularization(
+                jax.lax.stop_gradient(out["depth"][:num_global]),
+                g_probs, mc.patch_size, n_inst, axis_name=axis_name,
+            )
+            loss = loss + mc.label_regularization_weight * lr_loss
+        if use_similarity and mc.mixed_sampling:
+            P = mc.local_sample_patch_size**2
+            S = (batch["masks"].shape[0] - num_global) // P
+            local_probs = probs[num_global:].reshape(S, P, -1)
+            local_rgb = out["image"][num_global:].reshape(S, P, 3)
+            inc = batch.get("error_maps", batch.get("incoherent_masks"))
+            local_inc = inc[num_global:].reshape(S, P)
+            sim = rgb_similarity_loss(
+                sim_key, jax.lax.stop_gradient(local_rgb), local_probs,
+                local_inc,
+                threshold=mc.rgb_similarity_threshold,
+                exp_weight=mc.rgb_similarity_exp_weight,
+                epsilon=mc.epsilon,
+                num_sample=mc.rgb_similarity_num_sample,
+                redundant_instance=model.cfg.redundant_instance,
+                use_pred_logistics=mc.rgb_similarity_use_pred_logistics,
+            )
+            if axis_name is not None:
+                sim = jax.lax.pmean(sim, axis_name)
+            loss = loss + mc.rgb_similarity_loss_weight * sim
+
+        # error signal for the EMA map (utils.py:994-1014)
+        gt_onehot = jax.nn.one_hot(jnp.maximum(g_gt, 0), probs.shape[-1])
+        cos = jnp.sum(g_probs * gt_onehot, -1) / (
+            jnp.linalg.norm(g_probs, axis=-1) * jnp.maximum(
+                jnp.linalg.norm(gt_onehot, axis=-1), 1e-8)
+        )
+        error = jnp.exp(-mc.rgb_similarity_exp_weight * cos - mc.epsilon)
+
+        aux.update({
+            "loss": loss,
+            # globals only: shards concatenate back to the original global
+            # order; the trainer's [:num_rays] slice stays a no-op
+            "pred": jnp.argmax(logits[:num_global], -1),
+            "error": error,
+        })
+        return loss, aux
+
+    grads, aux = jax.grad(loss_fn, has_aux=True)(state.params)
+    if axis_name is not None:
+        # pmean, NOT psum: the psum'd scalars inside loss_fn replicate the
+        # global loss on every chip, so each chip's backward carries an
+        # n_devices factor through the collective transposes — pmean
+        # cancels it exactly (see tests/test_parallel.py grad equality)
+        grads = jax.lax.pmean(grads, axis_name)
+    updates, opt_state = tx.update(grads, state.opt_state, state.params)
+    params = optax.apply_updates(state.params, updates)
+    ema = state_lib._ema_update(state.ema_params, params, cfg.train.ema_decay)
+    return TrainState(params, ema, opt_state, state.step + 1), aux
+
+
+def make_mask_train_step(model: NerfModel, cfg: Config, trainable: Optional[Params]):
+    tx = state_lib.make_optimizer(cfg.train, trainable)
 
     @functools.partial(
         jax.jit, donate_argnums=(0,),
@@ -46,70 +148,8 @@ def make_mask_train_step(model: NerfModel, cfg: Config, trainable: Optional[Para
     )
     def step(state: TrainState, batch: Dict, key: jax.Array, num_global: int,
              use_similarity: bool):
-        def loss_fn(params):
-            out = run_rays(
-                model, params, batch["rays_o"], batch["rays_d"], None,
-                training=True, return_mask=True,
-                cam_near_far=batch.get("cam_near_far"),
-            )
-            logits = out["instance_mask_logits"]  # [N, I]
-            probs = jnp.clip(jax.nn.softmax(logits, -1), mc.epsilon, 1 - mc.epsilon)
-            gt = batch["masks"]  # [N] int, -1 = unlabeled
-
-            g_probs, g_gt = probs[:num_global], gt[:num_global]
-            labeled = g_gt != -1
-            onehot = jax.nn.one_hot(jnp.maximum(g_gt, 0), n_inst)
-            nll = -jnp.log(jnp.sum(onehot * g_probs, -1))
-            nll = jnp.where(labeled, nll, 0.0)
-            if mc.incoherent_uncertainty_weight < 1 and "incoherent_masks" in batch:
-                inc = batch["incoherent_masks"][:num_global]
-                nll = (1 - inc + mc.incoherent_uncertainty_weight * inc) * nll
-            loss = jnp.sum(nll) / jnp.maximum(jnp.sum(labeled), 1)
-
-            aux = {"ce": loss}
-            if mc.label_regularization_weight > 0:
-                lr_loss = label_regularization(
-                    jax.lax.stop_gradient(out["depth"][:num_global]),
-                    g_probs, mc.patch_size, n_inst,
-                )
-                loss = loss + mc.label_regularization_weight * lr_loss
-            if use_similarity and mc.mixed_sampling:
-                P = mc.local_sample_patch_size**2
-                S = mc.num_local_sample
-                local_probs = probs[num_global:].reshape(S, P, -1)
-                local_rgb = out["image"][num_global:].reshape(S, P, 3)
-                inc = batch.get("error_maps", batch.get("incoherent_masks"))
-                local_inc = inc[num_global:].reshape(S, P)
-                loss = loss + mc.rgb_similarity_loss_weight * rgb_similarity_loss(
-                    key, jax.lax.stop_gradient(local_rgb), local_probs, local_inc,
-                    threshold=mc.rgb_similarity_threshold,
-                    exp_weight=mc.rgb_similarity_exp_weight,
-                    epsilon=mc.epsilon,
-                    num_sample=mc.rgb_similarity_num_sample,
-                    redundant_instance=model.cfg.redundant_instance,
-                    use_pred_logistics=mc.rgb_similarity_use_pred_logistics,
-                )
-
-            # error signal for the EMA map (utils.py:994-1014)
-            gt_onehot = jax.nn.one_hot(jnp.maximum(g_gt, 0), probs.shape[-1])
-            cos = jnp.sum(g_probs * gt_onehot, -1) / (
-                jnp.linalg.norm(g_probs, axis=-1) * jnp.maximum(
-                    jnp.linalg.norm(gt_onehot, axis=-1), 1e-8)
-            )
-            error = jnp.exp(-mc.rgb_similarity_exp_weight * cos - mc.epsilon)
-
-            aux.update({
-                "loss": loss,
-                "pred": jnp.argmax(logits, -1),
-                "error": error,
-            })
-            return loss, aux
-
-        grads, aux = jax.grad(loss_fn, has_aux=True)(state.params)
-        updates, opt_state = tx.update(grads, state.opt_state, state.params)
-        params = optax.apply_updates(state.params, updates)
-        ema = state_lib._ema_update(state.ema_params, params, cfg.train.ema_decay)
-        return TrainState(params, ema, opt_state, state.step + 1), aux
+        return mask_step_body(model, cfg, tx, state, batch, key, num_global,
+                              use_similarity)
 
     return step
 
@@ -121,6 +161,43 @@ class MaskTrainer(Trainer):
         kw.setdefault("metrics", [MeanIoUMeter()])
         super().__init__(name, cfg, model, **kw)
         self._mask_step = make_mask_train_step(model, cfg, self.trainable)
+        self._mask_step_dp = None
+
+    def _run_mask_step(self, batch, key, num_global: int, use_similarity: bool):
+        """Dispatch the mask step — sharded over the mesh when the batch
+        divides it (globals AND whole patches per chip; VERDICT r2 item 4)."""
+        mc = self.cfg.mask
+        n = 0 if self.mesh is None else int(self.mesh.devices.size)
+        total = batch["masks"].shape[0]
+        patch_px = mc.local_sample_patch_size ** 2
+        n_patch_px = total - num_global
+        dp_ok = (
+            n > 1
+            and num_global % n == 0
+            and (n_patch_px == 0 or n_patch_px % (patch_px * n) == 0)
+        )
+        if not dp_ok:
+            if n > 1 and not getattr(self, "_warned_dp", False):
+                self._warned_dp = True
+                self.log(
+                    f"[WARN] mask batch (global={num_global}, "
+                    f"patch_px={n_patch_px}) does not divide the "
+                    f"{n}-device mesh; stepping single-device")
+            return self._mask_step(self.state, _device_batch(batch), key,
+                                   num_global=num_global,
+                                   use_similarity=use_similarity)
+        from sanerf_tpu.parallel import dp
+
+        keep = ("rays_o", "rays_d", "masks", "incoherent_masks",
+                "error_maps", "cam_near_far")
+        host = {k: v for k, v in batch.items() if k in keep}
+        sharded, gn = dp.shard_mask_batch(host, self.mesh, num_global,
+                                          patch_px)
+        if self._mask_step_dp is None:
+            self._mask_step_dp = dp.make_dp_mask_train_step(
+                self.model, self.cfg, self.mesh, self.trainable)
+        return self._mask_step_dp(self.state, sharded, key, num_global=gn,
+                                  use_similarity=use_similarity)
 
     def train(self, train_dataset, valid_dataset=None, max_epoch: int = 1,
               steps_per_epoch: Optional[int] = None):
@@ -131,6 +208,7 @@ class MaskTrainer(Trainer):
             self.epoch += 1
             t0 = time.time()
             miou = MeanIoUMeter()
+            loss_sum = None
             for _ in range(steps_per_epoch):
                 self.global_step += 1
                 # multi-res schedule: raise the sampling resolution level
@@ -151,10 +229,9 @@ class MaskTrainer(Trainer):
                     mc.rgb_similarity_loss_weight > 0
                     and self.global_step > mc.rgb_similarity_iter >= 0
                 )
-                dev = _device_batch(batch)
-                self.state, aux = self._mask_step(
-                    self.state, dev, self._next_key(),
-                    num_global=num_rays, use_similarity=use_sim,
+                self.state, aux = self._run_mask_step(
+                    batch, self._next_key(), num_global=num_rays,
+                    use_similarity=use_sim,
                 )
                 if train_dataset.error_map is not None:
                     train_dataset.update_error_map(
@@ -164,10 +241,15 @@ class MaskTrainer(Trainer):
                     )
                 miou.update(np.asarray(aux["pred"][:num_rays]),
                             batch["masks"][:num_rays])
+                loss_sum = (aux["loss"] if loss_sum is None
+                            else loss_sum + aux["loss"])
+            if loss_sum is None:  # steps_per_epoch == 0
+                continue
             dt = time.time() - t0
             self.log(
                 f"[mask epoch {self.epoch}] step {self.global_step} "
-                f"loss={float(aux['loss']):.4f} train_mIoU={miou.measure():.4f} "
+                f"loss={float(loss_sum) / steps_per_epoch:.4f} "
+                f"train_mIoU={miou.measure():.4f} "
                 f"({steps_per_epoch / dt:.1f} it/s)"
             )
             if valid_dataset is not None:

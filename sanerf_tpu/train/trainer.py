@@ -185,6 +185,7 @@ class Trainer:
         for _ in range(self.epoch, max_epoch):
             self.epoch += 1
             t0 = time.time()
+            acc = None  # device-side running sums (cheap adds, no host sync)
             last_aux = None
             with jax.profiler.TraceAnnotation(f"train_epoch_{self.epoch}"):
                 for _ in range(steps_per_epoch):
@@ -204,9 +205,16 @@ class Trainer:
                             self.state, batch, self._next_key(),
                             update_proposal=up,
                         )
+                    acc = aux if acc is None else jax.tree.map(
+                        jax.numpy.add, acc, aux)
                     last_aux = aux
-            # fetch once per epoch (keeps the device pipeline full)
-            aux = {k: float(v) for k, v in last_aux.items()}
+            if last_aux is None:  # steps_per_epoch == 0
+                continue
+            # fetch once per epoch (keeps the device pipeline full); scalars
+            # are epoch MEANS, not a single-step sample (lr reports its
+            # final value — a mean lr is not meaningful under decay)
+            aux = {k: float(v) / steps_per_epoch for k, v in acc.items()}
+            aux["lr"] = float(last_aux["lr"])
             dt = time.time() - t0
             aux["it_per_s"] = steps_per_epoch / dt
             self.log_metrics({k: v for k, v in aux.items()
@@ -251,17 +259,18 @@ class Trainer:
     def _render_eval_frame(self, params, rays_o, rays_d, cam_near_far=None,
                            **kw):
         """Eval/test frame render: sharded over the mesh when one exists
-        (utils.py:1919-1943's all_gather, done as a shard_map), otherwise
-        fixed-chunk staged inference."""
-        simple = not kw.get("return_mask") and not kw.get("return_feats")
+        (utils.py:1919-1943's all_gather, done as a shard_map) — including
+        feature / mask frames — otherwise fixed-chunk staged inference."""
         shared_cnf = cam_near_far is None or cam_near_far.shape[0] == 1
-        if self.mesh is not None and simple and shared_cnf:
+        if self.mesh is not None and shared_cnf:
             from sanerf_tpu.parallel import dp
 
-            key = cam_near_far is not None
+            key = (cam_near_far is not None,
+                   bool(kw.get("return_feats")), bool(kw.get("return_mask")))
             if self._dp_render is None or self._dp_render[0] != key:
                 self._dp_render = (key, dp.make_dp_render(
-                    self.model, self.mesh, with_cam_near_far=key))
+                    self.model, self.mesh, with_cam_near_far=key[0],
+                    return_feats=key[1], return_mask=key[2]))
             return dp.render_frame_dp(
                 self.model, self.mesh, self._dp_render[1], params,
                 rays_o, rays_d, cam_near_far=cam_near_far)
