@@ -199,6 +199,36 @@ class SamPredictor:
             out = out > self.cfg.mask_threshold
         return out, np.asarray(iou[0]), np.asarray(low_res[0])
 
+    def predict_batch(
+        self,
+        point_coords: np.ndarray,  # [B, N, 2] original-space (x, y)
+        point_labels: Optional[np.ndarray] = None,  # [B, N]
+        multimask_output: bool = True,
+        chunk: int = 16,
+    ):
+        """B independent prompts decoded in ONE device call per chunk
+        (the reference's `points_per_batch` batching, auto_generator.py:
+        242-250 `predict_torch(in_points[:, None, :], ...)` — the round-2
+        build decoded grid points one at a time in a Python loop).
+
+        Returns (mask_logits [B, M, H, W] np.float32, iou [B, M] np).
+        `chunk` bounds device memory for the 256->H,W upsample chain.
+        """
+        assert self.features is not None, "call set_image/set_features first"
+        coords = self.transform_coords(np.asarray(point_coords, np.float32))
+        B, N = coords.shape[:2]
+        if point_labels is None:
+            point_labels = np.ones((B, N), np.int32)
+        out_masks, out_iou = [], []
+        for s in range(0, B, chunk):
+            c = jnp.asarray(coords[s:s + chunk])
+            l = jnp.asarray(np.asarray(point_labels, np.int32)[s:s + chunk])
+            masks, iou = decode(self.cfg, self.params, self.features, c, l,
+                                multimask_output)
+            out_masks.append(np.asarray(self.postprocess(masks)))
+            out_iou.append(np.asarray(iou))
+        return np.concatenate(out_masks), np.concatenate(out_iou)
+
     def postprocess(self, masks: jax.Array) -> jax.Array:
         """[B, M, 256, 256] logits -> [B, M, H, W] at the original size:
         upscale to the padded input square, crop the valid region, resize."""
