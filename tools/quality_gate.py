@@ -1,0 +1,110 @@
+"""Field-family quality gate on the adversarial textured fixture.
+
+Trains BOTH field families (the TPU-flagship Fourier-feature MLP and the
+reference-faithful multiresolution hash grid) on the hardest synthetic
+scene this environment can produce — high-frequency procedural textures on
+three mutually occluding spheres over a fine-checkered floor
+(data/synthetic.py:ray_textured_scene) — and reports held-out-view PSNR
+side by side. This is the only field-family parity evidence possible
+without real Mip-360/LLFF data (BASELINE.md: parity "must be established
+by running the reference recipes"); state that limitation wherever the
+numbers are quoted.
+
+Run on the TPU:
+    python tools/quality_gate.py --iters 20000 --H 128
+Quick sanity (CPU):
+    JAX_PLATFORMS=cpu python tools/quality_gate.py --iters 200 --H 32
+
+Also the capacity gate for perf work: pass --mlp_width to measure how much
+field width the MLP family actually needs at matched quality.
+"""
+
+from __future__ import annotations
+
+import argparse
+import dataclasses
+import json
+import sys
+import time
+
+
+def run_family(field_type: str, args, mlp_width: int | None = None) -> dict:
+    import jax
+    import numpy as np
+
+    from sanerf_tpu.config import Config, ModelConfig, RenderConfig, TrainConfig
+    from sanerf_tpu.data.synthetic import SyntheticSphereDataset
+    from sanerf_tpu.models import fields
+    from sanerf_tpu.train.trainer import Trainer
+
+    rc = RenderConfig(num_steps=tuple(args.num_steps), bound=4.0,
+                      contract=True, min_near=0.05,
+                      max_ray_batch=args.H * args.H)
+    mc = ModelConfig(field_type=field_type,
+                     grid_desired_resolution=2048,
+                     prop_resolutions=(128, 256))
+    if mlp_width is not None:
+        mc = dataclasses.replace(mc, mlp_field_width=mlp_width)
+    tc = TrainConfig(iters=args.iters, num_rays=args.num_rays,
+                     adaptive_num_rays=False, lambda_distort=0.02,
+                     eval_cnt=1, save_cnt=1,
+                     use_native_loader=not args.no_native)
+    cfg = Config(workspace=f"{args.workspace}/{field_type}"
+                 + (f"_w{mlp_width}" if mlp_width else ""),
+                 render=rc, model=mc, train=tc)
+
+    train_ds = SyntheticSphereDataset(H=args.H, W=args.H, n_views=args.views,
+                                      scene="textured")
+    # held-out ring: different radius/height than both training rings
+    eval_ds = SyntheticSphereDataset(H=args.H, W=args.H, n_views=8,
+                                     radius=1.8, scene="textured",
+                                     training=False)
+    # circle_poses(height=0.5 / 1.1) at radius 1.8/1.35 differ from the
+    # training rings at 2.0/1.5 -> genuinely novel views
+    model = fields.make_model(mc, rc)
+    tr = Trainer(field_type, cfg, model, workspace=cfg.workspace,
+                 use_checkpoint="scratch")
+    t0 = time.time()
+    steps_per_epoch = min(500, args.iters)
+    tr.train(train_ds, valid_dataset=None,
+             max_epoch=max(1, args.iters // steps_per_epoch),
+             steps_per_epoch=steps_per_epoch)
+    wall = time.time() - t0
+    res = tr.evaluate_one_epoch(eval_ds, save_artifacts=args.save_artifacts)
+    out = {"field": field_type, "width": mlp_width,
+           "psnr": float(res["PSNRMeter"]), "train_s": round(wall, 1),
+           "iters": args.iters}
+    print(json.dumps(out))
+    return out
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--iters", type=int, default=20000)
+    ap.add_argument("--H", type=int, default=128)
+    ap.add_argument("--views", type=int, default=24)
+    ap.add_argument("--num_rays", type=int, default=8192)
+    ap.add_argument("--num_steps", type=int, nargs="+", default=[128, 64, 32])
+    ap.add_argument("--families", nargs="+", default=["mlp", "hashgrid"])
+    ap.add_argument("--mlp_width", type=int, default=None)
+    ap.add_argument("--workspace", default="/tmp/quality_gate")
+    ap.add_argument("--save_artifacts", action="store_true")
+    ap.add_argument("--no_native", action="store_true")
+    args = ap.parse_args(argv)
+
+    results = []
+    for fam in args.families:
+        results.append(run_family(
+            fam, args, mlp_width=args.mlp_width if fam == "mlp" else None))
+    print("== quality gate ==")
+    for r in results:
+        print(f"  {r['field']:<10} psnr={r['psnr']:.2f} dB "
+              f"({r['train_s']}s / {r['iters']} iters)")
+    if len(results) == 2:
+        delta = results[0]["psnr"] - results[1]["psnr"]
+        print(f"  delta (first - second) = {delta:+.2f} dB")
+    return results
+
+
+if __name__ == "__main__":
+    main()
