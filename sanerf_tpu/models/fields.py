@@ -517,6 +517,25 @@ def field_forward_T(model: NerfModel, params: Params, x, transposed: bool):
     )
 
 
+def field_composite_T(model: NerfModel, params: Params, xT, dl, ts,
+                      opaque: bool, rays8=None, with_view: bool = False):
+    """Final-level field query + in-VMEM alpha composite in one kernel
+    (ops/fused_mlp_t.run_tmlp_composite): the [16, N*T] field tensor never
+    reaches HBM. Returns (gsum [N, 16] w-weighted field sums, depth [N],
+    weights_sum [N]) — plus rgb [N, 3] (sigmoid, pre-background) when
+    `with_view` runs the SH + view-MLP branch in the same epilogue."""
+    from sanerf_tpu.ops.fused_mlp_t import run_tmlp_composite
+
+    return run_tmlp_composite(
+        xT, dl, ts, params["grid_mlp"], model.cfg.mlp_enc_freqs, model.bound,
+        (model.cfg.mlp_field_depth // 2,), leaky=True, opaque=opaque,
+        block=4096,
+        rays8=rays8 if with_view else None,
+        view_layers=params["view_mlp"] if with_view else None,
+        sh_degree=model.cfg.sh_degree,
+    )
+
+
 def density(model: NerfModel, params: Params, x: jax.Array, proposal: int = -1,
             fast: bool = False, x_T: Optional[jax.Array] = None) -> jax.Array:
     """Density-only query; routes to proposal nets (network.py:248-259).

@@ -105,6 +105,10 @@ def run_rays(
     # inference fast path: transposed fused encode+MLP kernels (no VJP)
     fast = (model.is_mlp_field and not training and not save_inter
             and cfg.use_fused_mlp)
+    fast_comp = fast and not mc.sum_after_mlp and not return_mask
+    # pure-RGB frames additionally fuse the final-level composite into the
+    # field kernel's epilogue (fields.field_composite_T)
+    fast_epi = fast_comp and not return_feats
     interp = jax.default_backend() == "cpu"
     if fast:
         # per-level geometry (resample/spacing/contraction) runs in the
@@ -116,7 +120,6 @@ def run_rays(
     bins = None
     weights = None
     sigmas = None
-    fast_comp = False
     outputs = None
     features = None
     masks = None
@@ -158,7 +161,7 @@ def run_rays(
 
             real_bins = spacing_fn_inv(s_nears * (1.0 - bins) + s_fars * bins)
             rays_t = (real_bins[..., 1:] + real_bins[..., :-1]) / 2.0  # [N, T]
-        if not fast or (last and (mc.with_sam or return_mask)):
+        if not fast or (last and not fast_epi and (mc.with_sam or return_mask)):
             # point-major coords for the XLA field path and the SAM/mask
             # feature lookups (XLA drops this when nothing consumes it).
             # Arrays born 2-D keep GEMM-friendly {1,0} layouts end to end;
@@ -181,8 +184,20 @@ def run_rays(
                 sigmas = jax.lax.stop_gradient(sigmas)
         else:
             dirs_ray = rays_d / jnp.linalg.norm(rays_d, axis=-1, keepdims=True)
-            fast_comp = fast and not mc.sum_after_mlp and not return_mask
-            if fast_comp:
+            # pure-RGB frames: field query + alpha composite fused in ONE
+            # kernel — the [16, N*T] field tensor (0.5 GB/frame at 512^2)
+            # never reaches HBM and the XLA composite fusion (profiled
+            # ~10 ms/frame of loopified broadcast-reduce) disappears
+            if fast_epi:
+                # the SH encode + per-ray view MLP also run in the kernel's
+                # epilogue (profiled ~12 ms/frame of XLA glue at 512^2)
+                _gsum_epi, depth_epi, wsum_epi, rgb_epi = (
+                    fields.field_composite_T(
+                        model, params, xyzs_T, dl, rays_t,
+                        opaque=cfg.background == "last_sample",
+                        rays8=rays8, with_view=True))
+                sigmas = None
+            elif fast_comp:
                 # dims-first field query; compositing stays transposed (the
                 # point-major [P, 31] colors tensor + its per-point SH —
                 # directions are constant along a ray, so sum_t w*sh =
@@ -203,7 +218,7 @@ def run_rays(
                 outputs = fields.forward(model, params, xyzs, dirs, save_inter,
                                          fast=fast, x_T=xyzs_T)
                 sigmas = outputs["sigma"].reshape(N, T)
-            if mc.with_sam:
+            if mc.with_sam and not fast_epi:
                 features = fields.sam_features(model, params, xyzs)
             if return_mask and mc.mask_mlp_type in ("default", "lightweight_mask"):
                 masks = fields.mask_grid_features(model, params, xyzs)
@@ -226,7 +241,15 @@ def run_rays(
     # per-ray reduction needs the [N, T, C] view
     per_ray = lambda x: x.reshape(N, T_last, -1)
 
-    if fast_comp:
+    if fast_epi:
+        # everything per-ray came out of the kernel epilogue already
+        weights_sum = wsum_epi
+        depth = depth_epi
+        f_image = None
+        geo_feat = None
+        colors = None
+        geo_sum_for_mid = None
+    elif fast_comp:
         fT = outputs["fT"]
         geo_T = fT[1 : 1 + mc.geom_feat_dim]  # [15, N*T]
         g_sum = jnp.sum(
@@ -248,7 +271,9 @@ def run_rays(
 
     view_inter = []
     f_colors = None
-    if mc.sum_after_mlp:
+    if fast_epi:
+        image = rgb_epi  # sigmoid applied in-kernel; bg blend below
+    elif mc.sum_after_mlp:
         # per-sample view MLP then composite (renderer.py:339-342)
         f_colors, view_inter = fields.apply_mlp(params["view_mlp"], colors, save_inter)
         f_colors_sum = jnp.sum(weights[..., None] * per_ray(f_colors), axis=-2)
@@ -275,9 +300,11 @@ def run_rays(
     results["image"] = image
 
     sam_inter = []
-    if mc.with_sam:
+    if mc.with_sam and not fast_epi:
         # computed whenever the SAM field exists (renderer.py:364 gates only
-        # on with_sam); XLA dead-code-eliminates it when unused
+        # on with_sam); XLA dead-code-eliminates it when unused. The fused-
+        # composite path skips it structurally (return_feats is False there
+        # and per-point weights never materialize)
         if mc.sum_after_mlp:
             # per-point head then composite (renderer.py:365-375)
             if mc.sam_use_view_direction:

@@ -270,6 +270,60 @@ def run_tmlp(x, layers, enc_freqs: int, bound: float,
                      block, out_rows, interpret)
 
 
+def _encode_and_chain(dims, leaky, has_bias, ad_freqs, xT, w_ref, projT_ref,
+                      phase_ref, lmask_ref, b_ref, f32_dots: bool = False,
+                      last_bt: bool = False):
+    """Shared kernel body: Fourier encode + the full MLP chain.
+    Returns the LAST layer's f32 accumulator [kout, B] — or [B, kout] with
+    `last_bt` (the last dot contracts over the LHS activation's leading dim
+    instead of transposing the result afterwards: MXU handles transposed
+    contractions natively, an explicit [kout, B] -> [B, kout] transpose per
+    block profiled ~13 ms/frame).
+
+    `f32_dots` (interpret/CPU mode): the CPU backend's DotThunk cannot
+    execute bf16 x bf16 = f32 dots outside a fusion — cast operands to f32
+    there; the TPU path keeps bf16 MXU feeds."""
+    n = len(dims)
+    act_dtype = jnp.float32 if f32_dots else w_ref.dtype
+    wl = (lambda s: s.astype(jnp.float32)) if f32_dots else (lambda s: s)
+    if ad_freqs:
+        enc = _ad_encode(xT, projT_ref[:], phase_ref[:], ad_freqs)
+    else:
+        z = jnp.dot(projT_ref[:], xT, preferred_element_type=jnp.float32)
+        lm = lmask_ref[:]
+        enc = lm * z + (1.0 - lm) * jnp.sin(z + phase_ref[:])  # [Fp, B]
+    enc = enc.astype(act_dtype)
+    h = enc
+    for l, (kin_h, kin_e, kout) in enumerate(dims):
+        if l == n - 1 and last_bt:
+            assert not kin_e, "transposed last layer cannot be a skip layer"
+            # [kin, B] x [kout, kin] -> [B, kout]: contract dim 0 of h with
+            # dim 1 of the weight slab
+            acc = jax.lax.dot_general(
+                h, wl(w_ref[l, :kout, :kin_h]),
+                dimension_numbers=(((0,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32)
+            if has_bias:
+                acc = acc + b_ref[l, :kout, :].T
+            return acc
+        acc = jnp.dot(wl(w_ref[l, :kout, :kin_h]), h,
+                      preferred_element_type=jnp.float32)
+        if kin_e:
+            acc = acc + jnp.dot(
+                wl(w_ref[l, :kout, kin_h : kin_h + kin_e]), enc,
+                preferred_element_type=jnp.float32)
+        if has_bias:
+            acc = acc + b_ref[l, :kout, :]
+        if l == n - 1:
+            return acc
+        if leaky:
+            acc = jnp.where(acc >= 0, acc, 0.01 * acc)
+        else:
+            acc = jnp.maximum(acc, 0.0)
+        h = acc.astype(act_dtype)
+    raise AssertionError
+
+
 def _tmlp_kernel(dims: Tuple[Tuple[int, int, int], ...], leaky: bool,
                  has_bias: bool, out_rows: int, ad_freqs: int = 0):
     n = len(dims)
@@ -279,35 +333,311 @@ def _tmlp_kernel(dims: Tuple[Tuple[int, int, int], ...], leaky: bool,
         b_ref = rest[0] if has_bias else None
         out_ref = rest[-1]
         xT = xT_ref[:].astype(jnp.float32)  # [8 or 3, B]
-        if ad_freqs:
-            enc = _ad_encode(xT, projT_ref[:], phase_ref[:], ad_freqs)
-        else:
-            z = jnp.dot(projT_ref[:], xT, preferred_element_type=jnp.float32)
-            lm = lmask_ref[:]
-            enc = lm * z + (1.0 - lm) * jnp.sin(z + phase_ref[:])  # [Fp, B]
-        enc = enc.astype(w_ref.dtype)
-        h = enc
-        for l, (kin_h, kin_e, kout) in enumerate(dims):
-            acc = jnp.dot(w_ref[l, :kout, :kin_h], h,
-                          preferred_element_type=jnp.float32)
-            if kin_e:
-                acc = acc + jnp.dot(
-                    w_ref[l, :kout, kin_h : kin_h + kin_e], enc,
-                    preferred_element_type=jnp.float32)
-            if has_bias:
-                acc = acc + b_ref[l, :kout, :]
-            if l == n - 1:
-                out_ref[:kout] = acc
-                if out_rows > kout:
-                    out_ref[kout:] = jnp.zeros_like(out_ref[kout:])
-                return
-            if leaky:
-                acc = jnp.where(acc >= 0, acc, 0.01 * acc)
-            else:
-                acc = jnp.maximum(acc, 0.0)
-            h = acc.astype(w_ref.dtype)
+        acc = _encode_and_chain(dims, leaky, has_bias, ad_freqs, xT, w_ref,
+                                projT_ref, phase_ref, lmask_ref, b_ref)
+        kout = dims[-1][2]
+        out_ref[:kout] = acc
+        if out_rows > kout:
+            out_ref[kout:] = jnp.zeros_like(out_ref[kout:])
 
     return kernel
+
+
+def _sh_components_rt(x, y, z, degree: int):
+    """Real-SH components on [R, 1] column vectors (ops/sh.py coefficients,
+    shencoder.cu ordering), degrees 1-4."""
+    one = jnp.ones_like(x)
+    comps = [0.28209479177387814 * one]
+    if degree >= 2:
+        comps += [-0.48860251190291987 * y,
+                  0.48860251190291987 * z,
+                  -0.48860251190291987 * x]
+    if degree >= 3:
+        xy, xz, yz = x * y, x * z, y * z
+        x2, y2, z2 = x * x, y * y, z * z
+        comps += [1.0925484305920792 * xy,
+                  -1.0925484305920792 * yz,
+                  0.94617469575755997 * z2 - 0.31539156525251999,
+                  -1.0925484305920792 * xz,
+                  0.54627421529603959 * x2 - 0.54627421529603959 * y2]
+    if degree >= 4:
+        comps += [0.59004358992664352 * y * (-3.0 * x2 + y2),
+                  2.8906114426405538 * xy * z,
+                  0.45704579946446572 * y * (1.0 - 5.0 * z2),
+                  0.3731763325901154 * z * (5.0 * z2 - 3.0),
+                  0.45704579946446572 * x * (1.0 - 5.0 * z2),
+                  1.4453057213202769 * z * (x2 - y2),
+                  0.59004358992664352 * x * (-x2 + 3.0 * y2)]
+    return comps
+
+
+def pack_view_weights(view_layers, geo_dim: int, sh_dim: int, kout: int,
+                      dtype=jnp.bfloat16):
+    """Pack the per-RAY view MLP for the composite kernel's epilogue.
+
+    The first layer's input [geo(15), sh(16)] splits into two mats so the
+    kernel never concatenates: `vgeo` [kout, H] consumes the field-sum rows
+    directly (row 0 — the composited sigma, not part of f_image — gets zero
+    weight), `vsh` [sh_pad, H] the SH block. Remaining layers pad to one
+    [L-1, Hp, Hp] stack (bias-free, fields init_mlp(bias=False))."""
+    W1 = jnp.asarray(view_layers[0]["w"])  # [geo+sh, H]
+    H = W1.shape[1]
+    vgeo = jnp.zeros((kout, H), jnp.float32).at[1 : 1 + geo_dim].set(
+        W1[:geo_dim])
+    sh_pad = _round_up(sh_dim, 8)
+    vsh = jnp.zeros((sh_pad, H), jnp.float32).at[:sh_dim].set(W1[geo_dim:])
+    Hp = _round_up(H, 8)
+    rest = []
+    for p in view_layers[1:]:
+        w = jnp.asarray(p["w"])  # [H, out]
+        slab = jnp.zeros((Hp, Hp), jnp.float32)
+        rest.append(slab.at[: w.shape[0], : w.shape[1]].set(w))
+    return (vgeo.astype(dtype), vsh.astype(dtype),
+            jnp.stack(rest).astype(dtype),
+            (H, len(rest), sh_dim))
+
+
+def _tmlp_composite_kernel(dims, leaky: bool, has_bias: bool, T: int,
+                           opaque: bool, ad_freqs: int = 0,
+                           f32_dots: bool = False,
+                           view: Optional[Tuple[int, int, int]] = None):
+    """Field chain + in-VMEM alpha compositing epilogue.
+
+    The block covers R = B // T whole rays. After the last layer the
+    [kout, B] activations pivot to [R, T, kout] (2-D transpose + leading
+    split — both Mosaic-supported), weights come from the sigma lane via
+    trunc_exp + the triangular-matmul exclusive cumsum (ops/composite.py
+    semantics), and the kernel emits per-RAY sums: the [kout, N*T] field
+    tensor (0.5 GB/frame at 512^2) never exists in HBM.
+
+    With `view = (n_rest, sh_dim, degree)` the per-RAY view branch runs in
+    the same epilogue: SH components are evaluated on [R, 1] columns from
+    the packed ray directions, the first view layer accumulates as
+    gsum @ vgeo plus sh_dim rank-1 outer-product dots (no lane concat —
+    Mosaic rejects assembling a [R, 16] SH tensor from computed columns),
+    and the remaining layers are [R, H] @ [H, H] dots. The final RGB lands
+    in aux lanes 2..4 (sigmoid applied; background blend stays in XLA)."""
+
+    def kernel(xT_ref, dl_ref, ts_ref, w_ref, projT_ref, phase_ref,
+               lmask_ref, *rest):
+        pos = 0
+        b_ref = None
+        if has_bias:
+            b_ref = rest[pos]
+            pos += 1
+        if view is not None:
+            rays_ref, vgeo_ref, vsh_ref, vrest_ref = rest[pos : pos + 4]
+            pos += 4
+        gsum_ref, aux_ref = rest[-2], rest[-1]
+        xT = xT_ref[:].astype(jnp.float32)  # [3 or 8, B]
+        acc = _encode_and_chain(dims, leaky, has_bias, ad_freqs, xT, w_ref,
+                                projT_ref, phase_ref, lmask_ref, b_ref,
+                                f32_dots, last_bt=True)  # [B, kout]
+        kout = dims[-1][2]
+        B = acc.shape[0]
+        R = B // T
+        h3 = acc.reshape(R, T, kout)  # whole rays per block
+        # sigma from lane 0 via a masked lane-reduction (slice+squeeze of a
+        # computed-layout value is not reliably supported)
+        lane0 = jax.lax.broadcasted_iota(jnp.int32, (1, 1, kout), 2) == 0
+        sigma_raw = jnp.sum(jnp.where(lane0, h3, 0.0), axis=2)  # [R, T]
+        sigma = jnp.exp(jnp.clip(sigma_raw, -15.0, 15.0))
+        dl = dl_ref[:]
+        ds = dl * sigma
+        if opaque:
+            last = jax.lax.broadcasted_iota(jnp.int32, (R, T), 1) == T - 1
+            ds_a = jnp.where(last, jnp.inf, ds)
+        else:
+            ds_a = ds
+        alphas = 1.0 - jnp.exp(-ds_a)
+        i = jax.lax.broadcasted_iota(jnp.int32, (T, T), 0)
+        j = jax.lax.broadcasted_iota(jnp.int32, (T, T), 1)
+        tri = (i < j).astype(jnp.float32)
+        cum = jnp.dot(ds, tri, preferred_element_type=jnp.float32,
+                      precision=jax.lax.Precision.HIGHEST)
+        w = alphas * jnp.exp(-cum)
+        w = jnp.where(jnp.isnan(w), 0.0, w)  # [R, T]
+        # lane -> sublane pivot for the broadcast multiply
+        w3 = jnp.transpose(w.reshape(R, 1, T), (0, 2, 1))  # [R, T, 1]
+        gsum = jnp.sum(h3 * w3, axis=1)  # [R, kout]
+        gsum_ref[:, :kout] = gsum
+        if gsum_ref.shape[1] > kout:
+            gsum_ref[:, kout:] = jnp.zeros_like(gsum_ref[:, kout:])
+        depth = jnp.sum(w * ts_ref[:], axis=1, keepdims=True)  # [R, 1]
+        wsum = jnp.sum(w, axis=1, keepdims=True)
+        col = jax.lax.broadcasted_iota(jnp.int32, (R, 8), 1)
+        aux = (jnp.where(col == 0, depth, 0.0)
+               + jnp.where(col == 1, wsum, 0.0))
+        if view is not None:
+            n_rest, sh_dim, degree = view
+            vw = ((lambda s: s.astype(jnp.float32)) if f32_dots
+                  else (lambda s: s))
+            rays = rays_ref[:].astype(jnp.float32)  # [R, 8] (o, d, nf)
+            dx, dy, dz = rays[:, 3:4], rays[:, 4:5], rays[:, 5:6]
+            inv = jax.lax.rsqrt(dx * dx + dy * dy + dz * dz + 1e-20)
+            comps = _sh_components_rt(dx * inv, dy * inv, dz * inv, degree)
+            gs = gsum.astype(vgeo_ref.dtype) if not f32_dots else gsum
+            h = jax.lax.dot_general(
+                gs, vw(vgeo_ref[:]), dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)  # [R, H]
+            for k in range(sh_dim):
+                # rank-1 outer product on the MXU: [R, 1] @ [1, H]
+                ck = (wsum * comps[k]).astype(gs.dtype)
+                h = h + jax.lax.dot_general(
+                    ck, vw(vsh_ref[k : k + 1, :]),
+                    dimension_numbers=(((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32)
+            for l in range(n_rest):
+                a = jnp.maximum(h, 0.0).astype(gs.dtype)
+                h = jax.lax.dot_general(
+                    a, vw(vrest_ref[l]),
+                    dimension_numbers=(((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32)
+            lane = jax.lax.broadcasted_iota(jnp.int32, (1, h.shape[1]), 1)
+            for c in range(3):
+                ch = jnp.sum(jnp.where(lane == c, h, 0.0), axis=1,
+                             keepdims=True)  # [R, 1]
+                rgb_c = 1.0 / (1.0 + jnp.exp(-ch))
+                aux = aux + jnp.where(col == 2 + c, rgb_c, 0.0)
+        aux_ref[:] = aux
+
+    return kernel
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("dims", "leaky", "T", "opaque", "block", "out_rows",
+                     "interpret", "ad_freqs", "view"),
+)
+def _run_tmlp_composite(xT, dl, ts, wstack, bias, projT, phase, lmask, dims,
+                        leaky, T, opaque, block, out_rows, interpret,
+                        ad_freqs=0, rays8=None, vgeo=None, vsh=None,
+                        vrest=None, view=None):
+    NT = xT.shape[1]
+    N = NT // T
+    rows = xT.shape[0]
+    assert block % T == 0, (block, T)
+    NTp = _round_up(max(NT, block), block)
+    if NTp != NT:
+        # padded rays: dl = 0 -> w = 0 -> zero sums (harmless rows)
+        xT = jnp.concatenate([xT, jnp.zeros((rows, NTp - NT), xT.dtype)], 1)
+        dl = jnp.concatenate(
+            [dl, jnp.zeros(((NTp - NT) // T, T), dl.dtype)], 0)
+        ts = jnp.concatenate(
+            [ts, jnp.zeros(((NTp - NT) // T, T), ts.dtype)], 0)
+        if rays8 is not None:
+            rays8 = jnp.concatenate(
+                [rays8, jnp.zeros(((NTp - NT) // T, rays8.shape[1]),
+                                  rays8.dtype)], 0)
+    R = block // T
+    has_bias = bias is not None
+    kern = _tmlp_composite_kernel(dims, leaky, has_bias, T, opaque, ad_freqs,
+                                  f32_dots=interpret, view=view)
+    in_specs = [
+        pl.BlockSpec((rows, block), lambda i: (0, i), memory_space=pltpu.VMEM),
+        pl.BlockSpec((R, T), lambda i: (i, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((R, T), lambda i: (i, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec(wstack.shape, lambda i: (0, 0, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec(projT.shape, lambda i: (0, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec(phase.shape, lambda i: (0, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec(lmask.shape, lambda i: (0, 0), memory_space=pltpu.VMEM),
+    ]
+    args = [xT, dl, ts, wstack, projT, phase, lmask]
+    if has_bias:
+        in_specs.append(pl.BlockSpec(bias.shape, lambda i: (0, 0, 0),
+                                     memory_space=pltpu.VMEM))
+        args.append(bias)
+    if view is not None:
+        in_specs += [
+            pl.BlockSpec((R, rays8.shape[1]), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(vgeo.shape, lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(vsh.shape, lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(vrest.shape, lambda i: (0, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ]
+        args += [rays8, vgeo, vsh, vrest]
+    gsum, aux = pl.pallas_call(
+        kern,
+        grid=(NTp // block,),
+        in_specs=in_specs,
+        out_specs=(
+            pl.BlockSpec((R, out_rows), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((R, 8), lambda i: (i, 0), memory_space=pltpu.VMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((NTp // T, out_rows), jnp.float32),
+            jax.ShapeDtypeStruct((NTp // T, 8), jnp.float32),
+        ),
+        interpret=interpret,
+        **({} if interpret else
+           dict(compiler_params=pltpu.CompilerParams(
+               vmem_limit_bytes=100 * 1024 * 1024))),
+    )(*args)
+    return gsum[:N], aux[:N]
+
+
+def run_tmlp_composite(xT, dl, ts, layers, enc_freqs: int, bound: float,
+                       skip_layers: Sequence[int] = (), leaky: bool = False,
+                       opaque: bool = True, block: int = 2048,
+                       interpret: Optional[bool] = None,
+                       angle_double: bool = True,
+                       rays8=None, view_layers=None, sh_degree: int = 4):
+    """Final-level field query + alpha composite as ONE kernel.
+
+    xT: [3, N*T] contracted sample coordinates (dims-first, the ray-kernel
+    feed); dl/ts: [N, T] metric deltas / midpoints. Returns
+    (gsum [N, out_rows] per-ray weighted field sums — col 0 is the
+    composited sigma (unused), cols 1:1+geo the geo-feature sums —
+    depth [N], weights_sum [N]).
+
+    With `rays8` ([N, 8] packed rays, dirs in cols 3:6) and `view_layers`
+    (the per-ray view MLP), the kernel also runs SH encode + the view MLP
+    in its epilogue and the return gains `rgb` [N, 3] (sigmoid applied,
+    background NOT blended): (gsum, depth, weights_sum, rgb)."""
+    dtype = layers[0]["w"].dtype
+    if not jnp.issubdtype(dtype, jnp.floating):
+        dtype = jnp.float32
+    if interpret is None:
+        interpret = jax.default_backend() == "cpu"
+    T = dl.shape[1]
+    block = max(block // T, 1) * T
+    view = None
+    vgeo = vsh = vrest = None
+    if view_layers is not None:
+        assert rays8 is not None
+        sh_dim = sh_degree * sh_degree
+        kout_field = layers[-1]["w"].shape[1]  # sigma + geo rows (16)
+        vgeo, vsh, vrest, (_Hv, n_rest, _) = pack_view_weights(
+            view_layers, kout_field - 1, sh_dim, kout_field, dtype=dtype)
+        view = (n_rest, sh_dim, sh_degree)
+    if angle_double:
+        z0_projT, z0_phase, row_map = make_ad_consts(
+            enc_freqs, float(np.pi / bound))
+        wstack, bias, dims = pack_tmlp_traced(
+            layers, len(row_map), skip_layers, dtype, enc_row_map=row_map)
+        lmask = jnp.zeros((1, 1), jnp.float32)  # unused on this path
+        gsum, aux = _run_tmlp_composite(
+            xT.astype(jnp.float32), dl, ts, wstack, bias, z0_projT, z0_phase,
+            lmask, dims, leaky, T, opaque, block,
+            _round_up(dims[-1][2], 8), interpret, ad_freqs=enc_freqs,
+            rays8=rays8, vgeo=vgeo, vsh=vsh, vrest=vrest, view=view)
+    else:
+        projT, phase, lmask, _ = make_enc_consts(
+            enc_freqs, float(np.pi / bound))
+        wstack, bias, dims = pack_tmlp_traced(
+            layers, projT.shape[0], skip_layers, dtype)
+        gsum, aux = _run_tmlp_composite(
+            xT.astype(jnp.float32), dl, ts, wstack, bias, projT[:, :3], phase,
+            lmask, dims, leaky, T, opaque, block,
+            _round_up(dims[-1][2], 8), interpret,
+            rays8=rays8, vgeo=vgeo, vsh=vsh, vrest=vrest, view=view)
+    if view is not None:
+        return gsum, aux[:, 0], aux[:, 1], aux[:, 2:5]
+    return gsum, aux[:, 0], aux[:, 1]
 
 
 @functools.partial(

@@ -46,8 +46,8 @@ def run_family(field_type: str, args, mlp_width: int | None = None) -> dict:
     if mlp_width is not None:
         mc = dataclasses.replace(mc, mlp_field_width=mlp_width)
     tc = TrainConfig(iters=args.iters, num_rays=args.num_rays,
-                     adaptive_num_rays=False, lambda_distort=0.02,
-                     eval_cnt=1, save_cnt=1,
+                     adaptive_num_rays=False, lambda_distort=args.distort,
+                     lr=args.lr, eval_cnt=1, save_cnt=1,
                      use_native_loader=not args.no_native)
     cfg = Config(workspace=f"{args.workspace}/{field_type}"
                  + (f"_w{mlp_width}" if mlp_width else ""),
@@ -84,6 +84,8 @@ def main(argv=None):
     ap.add_argument("--H", type=int, default=128)
     ap.add_argument("--views", type=int, default=24)
     ap.add_argument("--num_rays", type=int, default=8192)
+    ap.add_argument("--lr", type=float, default=1e-2)
+    ap.add_argument("--distort", type=float, default=0.02)
     ap.add_argument("--num_steps", type=int, nargs="+", default=[128, 64, 32])
     ap.add_argument("--families", nargs="+", default=["mlp", "hashgrid"])
     ap.add_argument("--mlp_width", type=int, default=None)
