@@ -1,0 +1,114 @@
+"""Import-time distillation of hash-grid checkpoints into the MLP family."""
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from sanerf_tpu.config import ModelConfig, RenderConfig
+from sanerf_tpu.models import fields, import_distill
+
+
+def _tiny_models(with_sam=False, with_mask=False, mask_type="default"):
+    rc = RenderConfig(num_steps=(16, 8), bound=2.0, contract=True,
+                      min_near=0.05)
+    mc = ModelConfig(
+        field_type="hashgrid",
+        # log2_hashmap 13 >= 16^3: every level is TILED (exact dense
+        # indexing) so _smooth_tables below constructs a spatially smooth
+        # teacher, like a real trained checkpoint — random tables are
+        # unfittable noise by construction
+        grid_num_levels=4, grid_log2_hashmap=13, grid_desired_resolution=16,
+        prop_num_levels=2, prop_log2_hashmap=13, prop_resolutions=(8, 16),
+        mlp_field_width=64, mlp_field_depth=4,
+        with_sam=with_sam, with_mask=with_mask, mask_mlp_type=mask_type,
+        s_grid_num_levels=4, s_grid_log2_hashmap=8,
+        s_grid_desired_resolution=64,
+        n_inst=3,
+    )
+    teacher = fields.make_model(mc, rc)
+    return teacher, fields.init_params(teacher, jax.random.key(3))
+
+
+def _smooth_tables(spec, seed=0):
+    """Table whose virtual dense grid per level samples a smooth function —
+    the structure real trained hash grids have."""
+    from sanerf_tpu.ops.hashgrid import _grid_index
+
+    rng = np.random.RandomState(seed)
+    table = np.zeros((spec.total_params, spec.level_dim), np.float32)
+    for lvl, res in enumerate(spec.resolutions):
+        ii, jj, kk = np.meshgrid(*([np.arange(res)] * 3), indexing="ij")
+        pos = tuple(a.ravel().astype(np.int32) for a in (ii, jj, kk))
+        idx = np.asarray(_grid_index(spec, lvl, tuple(
+            jnp.asarray(p) for p in pos))) + spec.offsets[lvl]
+        xyz = np.stack([p / max(res - 1, 1) for p in pos], -1)  # [V, 3]
+        freqs = rng.uniform(1.0, 4.0, (3, spec.level_dim))
+        phase = rng.uniform(0, 2 * np.pi, spec.level_dim)
+        vals = np.sin(xyz @ freqs * np.pi + phase).astype(np.float32)
+        table[idx] = 0.5 * vals
+    return jnp.asarray(table)
+
+
+def test_student_config_flips_family_and_matches_dims():
+    teacher, _ = _tiny_models(with_sam=True)
+    scfg = import_distill.student_config(teacher.cfg)
+    assert scfg.field_type == "mlp"
+    student = fields.make_model(scfg, teacher.render_cfg)
+    assert student.s_feat_dim == teacher.s_feat_dim
+    assert student.color_dim == teacher.color_dim
+    assert student.samvit_in_dim == teacher.samvit_in_dim
+
+
+def test_distill_fits_field_and_copies_heads():
+    teacher, tparams = _tiny_models()
+    tparams["grid"] = _smooth_tables(teacher.grid_spec, seed=1)
+    for i, p in enumerate(tparams["prop"]):
+        p["grid"] = _smooth_tables(teacher.prop_specs[i], seed=2 + i)
+    sm, sp, report = import_distill.distill_to_mlp(
+        teacher, tparams, key=jax.random.key(0),
+        n_points=1 << 14, batch=512, iters=800, render_check=1,
+        render_hw=24)
+    # identical-structure heads are copied bit-for-bit
+    for a, b in zip(jax.tree.leaves(sp["view_mlp"]),
+                    jax.tree.leaves(tparams["view_mlp"])):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    # the fit converged on the field (random tiny tables are still smooth
+    # trilinear functions; the MLP must track them meaningfully)
+    x = jax.random.uniform(jax.random.key(1), (4096, 3), minval=-1, maxval=1)
+    t = import_distill._teacher_field(teacher, tparams, x)
+    s = import_distill._student_field(sm, sp, x)
+    # density in the cross-family matching space; features raw
+    tc = jnp.concatenate(
+        [import_distill._log_density(t[:, :1], False), t[:, 1:]], -1)
+    sc = jnp.concatenate(
+        [import_distill._log_density(s[:, :1], True), s[:, 1:]], -1)
+    resid = float(jnp.mean((sc - tc) ** 2))
+    base = float(jnp.mean((tc - jnp.mean(tc, axis=0)) ** 2))
+    # the meaningful fidelity gate is render_psnr below; this only checks
+    # the fit moved substantially toward the teacher in matching space
+    assert resid < 0.75 * base, (resid, base)
+    assert np.isfinite(report["render_psnr"])
+    assert report["render_psnr"] > 20.0, report
+
+
+def test_distill_sam_and_mask_targets_present():
+    teacher, tparams = _tiny_models(with_sam=True, with_mask=True,
+                                    mask_type="lightweight_mask")
+    x, targets = import_distill.build_targets(
+        teacher, tparams, jax.random.key(0), n_points=1 << 10)
+    assert set(targets) == {"field", "prop0", "prop1", "sam", "mask"}
+    assert targets["sam"].shape[-1] == teacher.s_feat_dim
+    assert targets["mask"].shape[-1] == teacher.m_feat_dim
+    sm, sp, _ = import_distill.distill_to_mlp(
+        teacher, tparams, key=jax.random.key(0),
+        n_points=1 << 11, batch=256, iters=16, render_check=0)
+    assert "s_field_mlp" in sp and "m_field_mlp" in sp
+    # the student renders through the standard staged path with SAM head
+    from sanerf_tpu.models import renderer
+    o = jnp.zeros((64, 3)) + jnp.array([0.0, 0.0, 2.0])
+    d = jnp.tile(jnp.array([[0.0, 0.0, -1.0]]), (64, 1))
+    out = renderer.render_staged(sm, sp, o, d, return_feats=True)
+    assert np.isfinite(np.asarray(out["samvit"])).all()
