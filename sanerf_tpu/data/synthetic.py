@@ -187,6 +187,19 @@ class SyntheticSphereDataset:
         self.images = np.stack(imgs)
         self.depths = np.stack(deps)
         self.instances = np.stack(insts)
+        # per-view near/far from the exact depths — the same guard the
+        # reference derives from sparse COLMAP depth (colmap_provider.py:
+        # 554-600). Without it, inward-looking ring cameras admit a
+        # billboard collapse: density sheets just past the global near
+        # plane reproduce every TRAIN view perfectly (each camera only
+        # sees its own sheet) and score ~11 dB on held-out views.
+        nf = []
+        for dep in self.depths:
+            hit = dep[dep > 0]
+            near = 0.9 * float(hit.min()) if hit.size else 0.05
+            far = 1.25 * float(hit.max()) if hit.size else 10.0
+            nf.append([near, far])
+        self.cam_near_far = np.asarray(nf, np.float32)
 
     def __len__(self):
         return self.n_views
@@ -201,6 +214,7 @@ class SyntheticSphereDataset:
             "rays_o": rb.rays_o,
             "rays_d": rb.rays_d,
             "images": gt,
+            "cam_near_far": self.cam_near_far[idx : idx + 1],
             "index": idx,
             "H": self.H,
             "W": self.W,
@@ -213,6 +227,7 @@ class SyntheticSphereDataset:
             "rays_d": rb.rays_d,
             "images": self.images[idx].reshape(-1, 3),
             "masks": self.masks[idx].reshape(-1),
+            "cam_near_far": self.cam_near_far[idx : idx + 1],
             "index": idx,
             "H": self.H,
             "W": self.W,
@@ -254,6 +269,7 @@ class SyntheticSphereDataset:
         return {
             "rays_o": rb.rays_o, "rays_d": rb.rays_d,
             "masks": self.masks[i].reshape(-1)[rb.inds],
+            "cam_near_far": self.cam_near_far[i : i + 1],
             "inds": rb.inds, "inds_coarse": rb.inds_coarse,
             "index": i, "H": self.H, "W": self.W,
         }

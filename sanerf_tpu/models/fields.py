@@ -32,7 +32,7 @@ import jax.numpy as jnp
 
 from sanerf_tpu.config import HashGridConfig, ModelConfig, RenderConfig
 from sanerf_tpu.ops import hashgrid
-from sanerf_tpu.ops.activation import trunc_exp
+from sanerf_tpu.ops.activation import shifted_softplus, trunc_exp
 from sanerf_tpu.ops.freq import freq_encode, freq_output_dim
 from sanerf_tpu.ops.sh import sh_encode, sh_output_dim
 
@@ -259,7 +259,10 @@ def make_model(cfg: ModelConfig, render_cfg: RenderConfig) -> NerfModel:
             num_levels=cfg.grid_num_levels,
             level_dim=cfg.grid_level_dim,
             log2_hashmap_size=cfg.grid_log2_hashmap,
-            desired_resolution=int(2048 * render_cfg.grid_bound),
+            # default 4096 = the reference's 2048 * bound(=2 contracted)
+            # (network.py:102); the config value is authoritative so tests
+            # and capacity sweeps can actually size the table
+            desired_resolution=cfg.grid_desired_resolution,
         )
     )
     prop_specs = tuple(
@@ -440,6 +443,17 @@ def _init_mask_head(model: NerfModel, key: jax.Array) -> Params:
 # ---------------------------------------------------------------------------
 
 
+def density_activation(model: NerfModel, f0: jax.Array) -> jax.Array:
+    """Family-specific density activation: the reference's trunc_exp for
+    the hashgrid family (activation.py:18), shifted softplus for the MLP
+    flagship (see ops/activation.py for the stability rationale). The
+    fused composite kernel (ops/fused_mlp_t.py) applies the same softplus
+    in-kernel for the MLP fast path."""
+    if model.is_mlp_field:
+        return shifted_softplus(f0)
+    return trunc_exp(f0)
+
+
 def common_forward(
     model: NerfModel, params: Params, x: jax.Array, save_intermediates: bool = False,
     fast: bool = False, x_T: Optional[jax.Array] = None,
@@ -456,7 +470,7 @@ def common_forward(
     if model.is_mlp_field and fast and not save_intermediates:
         fT = field_forward_T(model, params, x if x_T is None else x_T,
                              transposed=x_T is not None)
-        sigma = trunc_exp(fT[0])
+        sigma = density_activation(model, fT[0])
         geo_feat = fT[1 : 1 + model.cfg.geom_feat_dim].T
         return sigma, geo_feat, None, []
     if model.is_mlp_field:
@@ -471,7 +485,7 @@ def common_forward(
             x, params["grid"], model.grid_spec, model.bound
         )
         f, inter = apply_mlp(params["grid_mlp"], grid_output, save_intermediates)
-    sigma = trunc_exp(f[..., 0])
+    sigma = density_activation(model, f[..., 0])
     geo_feat = f[..., 1:]
     return sigma, geo_feat, grid_output, inter
 
@@ -550,7 +564,7 @@ def density(model: NerfModel, params: Params, x: jax.Array, proposal: int = -1,
                           model.cfg.mlp_prop_enc_freqs, model.bound, (),
                           leaky=False, block=16384,
                           transposed=x_T is not None)
-            return trunc_exp(fT[0])
+            return density_activation(model, fT[0])
         if model.is_mlp_field:
             h = freq_encode(x * (jnp.pi / model.bound), model.cfg.mlp_prop_enc_freqs,
                             out_dtype=p["mlp"][0]["w"].dtype)
@@ -559,7 +573,7 @@ def density(model: NerfModel, params: Params, x: jax.Array, proposal: int = -1,
                 x, p["grid"], model.prop_specs[proposal], model.bound
             )
         f, _ = apply_mlp(p["mlp"], h)
-        return trunc_exp(f[..., 0])
+        return density_activation(model, f[..., 0])
     sigma, _, _, _ = common_forward(model, params, x)
     return sigma
 

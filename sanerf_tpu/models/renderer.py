@@ -211,7 +211,7 @@ def run_rays(
                     xyzs_T if xyzs_T is not None else xyzs,
                     transposed=xyzs_T is not None)
                 outputs = {"fT": fT}
-                sigmas = fields.trunc_exp(fT[0]).reshape(N, T)
+                sigmas = fields.density_activation(model, fT[0]).reshape(N, T)
             else:
                 dirs = jnp.broadcast_to(
                     dirs_ray[:, None, :], (N, T, 3)).reshape(N * T, 3)

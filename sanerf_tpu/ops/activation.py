@@ -1,14 +1,30 @@
-"""Density activation: exp with input-clamped gradient.
+"""Density activations.
 
-Reference: activation.py:3-18 `_trunc_exp` — forward is fp32 exp(x), backward
-is `g * exp(clamp(x, -15, 15))`, which prevents fp16/overflow blow-ups in the
-density branch.
+`trunc_exp` — exp with input-clamped gradient, the reference's density
+activation (activation.py:3-18 `_trunc_exp`: forward fp32 exp(x), backward
+`g * exp(clamp(x, -15, 15))`), used by the hashgrid family for parity.
+
+`shifted_softplus` — the MLP-flagship density activation. The deep
+Fourier-feature MLP is unstable under exp: d sigma/d logit = sigma, so a
+hot region's gradients grow with its own density and a single overshoot
+spirals the whole shared field into a dead (all-negative-logit) basin —
+observed repeatedly at 12-14k steps even with global-norm clip 1.0.
+Softplus has gradient <= 1 everywhere (the spiral cannot start), still
+reaches sigma in the hundreds (alpha ~= 1 at any realistic step size),
+and is what mip-NeRF 360-style MLP fields train with. Hash tables don't
+need this: each entry sees sparse, local gradients.
 """
 
 from __future__ import annotations
 
 import jax
 import jax.numpy as jnp
+
+
+def shifted_softplus(x: jax.Array) -> jax.Array:
+    """softplus(x - 1): starts slightly transparent at init (f~0 ->
+    sigma~0.31), exactly mip-NeRF 360's density parametrization."""
+    return jax.nn.softplus(x.astype(jnp.float32) - 1.0)
 
 
 @jax.custom_vjp

@@ -406,7 +406,8 @@ def _tmlp_composite_kernel(dims, leaky: bool, has_bias: bool, T: int,
     The block covers R = B // T whole rays. After the last layer the
     [kout, B] activations pivot to [R, T, kout] (2-D transpose + leading
     split — both Mosaic-supported), weights come from the sigma lane via
-    trunc_exp + the triangular-matmul exclusive cumsum (ops/composite.py
+    the MLP-family density activation (shifted softplus) + the
+    triangular-matmul exclusive cumsum (ops/composite.py
     semantics), and the kernel emits per-RAY sums: the [kout, N*T] field
     tensor (0.5 GB/frame at 512^2) never exists in HBM.
 
@@ -441,7 +442,11 @@ def _tmlp_composite_kernel(dims, leaky: bool, has_bias: bool, T: int,
         # computed-layout value is not reliably supported)
         lane0 = jax.lax.broadcasted_iota(jnp.int32, (1, 1, kout), 2) == 0
         sigma_raw = jnp.sum(jnp.where(lane0, h3, 0.0), axis=2)  # [R, T]
-        sigma = jnp.exp(jnp.clip(sigma_raw, -15.0, 15.0))
+        # MLP-family density: shifted softplus, matching
+        # fields.density_activation (this kernel only serves the MLP fast
+        # path). Stable form = jax.nn.softplus's max(x,0)+log1p(exp(-|x|)).
+        s = sigma_raw - 1.0
+        sigma = jnp.maximum(s, 0.0) + jnp.log1p(jnp.exp(-jnp.abs(s)))
         dl = dl_ref[:]
         ds = dl * sigma
         if opaque:
@@ -480,13 +485,22 @@ def _tmlp_composite_kernel(dims, leaky: bool, has_bias: bool, T: int,
             h = jax.lax.dot_general(
                 gs, vw(vgeo_ref[:]), dimension_numbers=(((1,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32)  # [R, H]
+            # assemble the [R, sh_pad] SH row with lane selects (Mosaic
+            # rejects lane-concat of computed columns but broadcasts +
+            # selects are native), then ONE [R, sh_pad] @ [sh_pad, H] dot —
+            # NOT sh_dim rank-1 MXU dots, which serialized ~16 tiny matmuls
+            # per block and dominated the frame (56 ms -> see commit)
+            sh_pad = vsh_ref.shape[0]
+            shlane = jax.lax.broadcasted_iota(
+                jnp.int32, (R, sh_pad), 1)
+            shm = jnp.zeros((R, sh_pad), jnp.float32)
             for k in range(sh_dim):
-                # rank-1 outer product on the MXU: [R, 1] @ [1, H]
-                ck = (wsum * comps[k]).astype(gs.dtype)
-                h = h + jax.lax.dot_general(
-                    ck, vw(vsh_ref[k : k + 1, :]),
-                    dimension_numbers=(((1,), (0,)), ((), ())),
-                    preferred_element_type=jnp.float32)
+                shm = shm + jnp.where(shlane == k, comps[k], 0.0)
+            shm = (wsum * shm).astype(gs.dtype)
+            h = h + jax.lax.dot_general(
+                shm, vw(vsh_ref[:]),
+                dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)
             for l in range(n_rest):
                 a = jnp.maximum(h, 0.0).astype(gs.dtype)
                 h = jax.lax.dot_general(

@@ -59,20 +59,23 @@ def make_dp_train_step(
     mesh: Mesh,
     trainable: Optional[Params] = None,
     axis: str = "data",
-    batch_keys: Tuple[str, ...] = ("rays_o", "rays_d", "images"),
+    batch_keys: Optional[Tuple[str, ...]] = None,
     shared_keys: Tuple[str, ...] = (),
 ):
     """Build the sharded stage-1 train step around the canonical step body.
 
-    `batch_keys` shard on the ray axis; `shared_keys` (e.g. a [1, 2]
-    cam_near_far) replicate. Returns step(state, batch, key,
-    update_proposal=True) like make_rgb_train_step.
+    Sharding specs are derived from the actual batch at call time (leading
+    ray axis shards; arrays with a broadcast leading dim of 1, e.g. a
+    shared [1, 2] cam_near_far, replicate) and cached per batch signature.
+    Pass `batch_keys`/`shared_keys` to pin the specs explicitly instead.
+    Returns step(state, batch, key, update_proposal=True) like
+    make_rgb_train_step.
     """
     tx = state_lib.make_optimizer(cfg, trainable)
-    spec = {k: P(axis) for k in batch_keys}
-    spec.update({k: P() for k in shared_keys})
 
-    def build(update_proposal: bool):
+    def build(update_proposal: bool, spec_items: Tuple[Tuple[str, bool], ...]):
+        spec = {k: P(axis) if sharded else P() for k, sharded in spec_items}
+
         def body(state, batch, key):
             return state_lib.rgb_step_body(
                 model, cfg, tx, state, batch, key,
@@ -86,11 +89,26 @@ def make_dp_train_step(
         )
         return jax.jit(mapped, donate_argnums=(0,))
 
-    steps = {True: build(True), False: build(False)}
+    pinned = None
+    if batch_keys is not None:
+        pinned = tuple(sorted(
+            [(k, True) for k in batch_keys] + [(k, False) for k in shared_keys]
+        ))
+    cache = {}
 
     def step(state: TrainState, batch: Dict[str, jax.Array], key: jax.Array,
              update_proposal: bool = True):
-        return steps[bool(update_proposal)](state, batch, key)
+        if pinned is not None:
+            spec_items = pinned
+        else:
+            spec_items = tuple(sorted(
+                (k, bool(np.ndim(v) >= 1 and v.shape[0] > 1))
+                for k, v in batch.items()
+            ))
+        sig = (bool(update_proposal), spec_items)
+        if sig not in cache:
+            cache[sig] = build(*sig)
+        return cache[sig](state, batch, key)
 
     return step
 

@@ -71,9 +71,17 @@ def distribute_batch(batch: dict, mesh, axis: str = "data") -> dict:
     import jax
     from jax.sharding import NamedSharding, PartitionSpec as P
 
+    n_rays = next(
+        (np.asarray(v).shape[0] for v in batch.values()
+         if np.ndim(v) >= 1 and np.asarray(v).shape[0] > 1), None)
     out = {}
     for k, v in batch.items():
         v = np.asarray(v)
+        if k == "cam_near_far" and v.shape[0] == 1 and n_rays:
+            # per-VIEW metadata differs across processes (each host samples
+            # its own views), so a replicated [1, 2] would be ill-defined
+            # globally — broadcast to per-ray so it shards with the rays
+            v = np.broadcast_to(v, (n_rays,) + v.shape[1:]).copy()
         spec = P(axis) if v.ndim >= 1 and v.shape[0] > 1 else P()
         sharding = NamedSharding(mesh, spec)
         if v.ndim >= 1 and v.shape[0] > 1:

@@ -267,9 +267,11 @@ class MaskTrainer(Trainer):
             frame = dataset.frame(idx)
             if "masks" not in frame:
                 continue
+            cnf = frame.get("cam_near_far")
             out = renderer_mod.render_staged(
                 self.model, params, jnp.asarray(frame["rays_o"]),
                 jnp.asarray(frame["rays_d"]), return_mask=True,
+                cam_near_far=None if cnf is None else jnp.asarray(cnf),
             )
             pred = np.asarray(jnp.argmax(out["instance_mask_logits"], -1))
             meter.update(pred, frame["masks"])
@@ -288,9 +290,11 @@ class MaskTrainer(Trainer):
         out = []
         for idx in range(n):
             frame = dataset.frame(idx)
+            cnf = frame.get("cam_near_far")
             r = renderer_mod.render_staged(
                 self.model, params, jnp.asarray(frame["rays_o"]),
                 jnp.asarray(frame["rays_d"]), return_mask=True,
+                cam_near_far=None if cnf is None else jnp.asarray(cnf),
             )
             out.append(np.asarray(
                 jnp.argmax(r["instance_mask_logits"], -1)

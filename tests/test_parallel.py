@@ -95,7 +95,7 @@ def test_dp_grad_equivalence(rng):
             return jnp.mean((out["image"] - batch["images"]) ** 2)
         return jax.lax.pmean(jax.grad(loss_fn)(params), "data")
 
-    spec = {k: P("data") for k in dev}
+    spec = dp.batch_pspec(dev)
     g_dp = jax.jit(shard_map(shard_grads, mesh=mesh, in_specs=(P(), spec),
                              out_specs=P(), check_rep=False))(params, dev)
     for a, b in zip(jax.tree.leaves(g_full), jax.tree.leaves(g_dp)):
@@ -233,7 +233,7 @@ def test_dp_mask_step_matches_single(rng):
         return jax.lax.pmean(
             jax.grad(mask_loss)(params, b, N // 8, axis_name="data"), "data")
 
-    spec = {k: P("data") for k in dev}
+    spec = dp.batch_pspec(dev)
     g_dp = jax.jit(shard_map(shard_grads, mesh=mesh, in_specs=(P(), spec),
                              out_specs=P(), check_rep=False))(params, dev)
     for a, b in zip(jax.tree.leaves(g_full), jax.tree.leaves(g_dp)):

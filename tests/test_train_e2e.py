@@ -53,7 +53,8 @@ def test_rgb_training_converges(mc, sphere_ds):
     def eval_psnr(p):
         frame = sphere_ds.frame(0)
         out = renderer.render_staged(
-            model, p, jnp.asarray(frame["rays_o"]), jnp.asarray(frame["rays_d"])
+            model, p, jnp.asarray(frame["rays_o"]), jnp.asarray(frame["rays_d"]),
+            cam_near_far=jnp.asarray(frame["cam_near_far"]),
         )
         mse = float(jnp.mean((out["image"] - jnp.asarray(frame["images"])) ** 2))
         return -10 * np.log10(mse)

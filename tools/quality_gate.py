@@ -37,11 +37,15 @@ def run_family(field_type: str, args, mlp_width: int | None = None) -> dict:
     from sanerf_tpu.models import fields
     from sanerf_tpu.train.trainer import Trainer
 
+    # min_near 0.5 is geometry-derived for the fixture (closest in-frustum
+    # content is >1.1 units from every ring camera): the reference gets the
+    # same guard from per-view sparse-depth near/far (colmap_provider.py:
+    # 554-600); without it inward-ring cameras admit mutually-invisible
+    # near-plane billboards that ace train views and score ~7 dB held-out
     rc = RenderConfig(num_steps=tuple(args.num_steps), bound=4.0,
-                      contract=True, min_near=0.05,
+                      contract=True, min_near=args.min_near,
                       max_ray_batch=args.H * args.H)
     mc = ModelConfig(field_type=field_type,
-                     grid_desired_resolution=2048,
                      prop_resolutions=(128, 256))
     if mlp_width is not None:
         mc = dataclasses.replace(mc, mlp_field_width=mlp_width)
@@ -83,8 +87,12 @@ def main(argv=None):
     ap.add_argument("--iters", type=int, default=20000)
     ap.add_argument("--H", type=int, default=128)
     ap.add_argument("--views", type=int, default=24)
-    ap.add_argument("--num_rays", type=int, default=8192)
-    ap.add_argument("--lr", type=float, default=1e-2)
+    ap.add_argument("--num_rays", type=int, default=1024)
+    ap.add_argument("--min_near", type=float, default=0.5)
+    # 5e-3: the 8-layer Fourier MLP explodes mid-run at the hash-grid lr
+    # of 1e-2 (max|w| drifts to ~60 then the density field dies); hash
+    # tables tolerate 1e-2 because each entry sees sparse gradients
+    ap.add_argument("--lr", type=float, default=5e-3)
     ap.add_argument("--distort", type=float, default=0.02)
     ap.add_argument("--num_steps", type=int, nargs="+", default=[128, 64, 32])
     ap.add_argument("--families", nargs="+", default=["mlp", "hashgrid"])
