@@ -204,22 +204,30 @@ class FramePipeline:
         return u8, depth, mask, pts2d, valid
 
     @staticmethod
-    def _fetch(frame):
-        """Fetch ONLY the display pixels; everything else stays on-device.
-
-        Host transfers serialize with device compute through the relay
-        (profiled: fetching depth f32 + mask alongside the uint8 frame cost
-        ~50 ms/frame — the u8-only fetch runs at device speed). Depth is
-        needed on the host only when a click lifts to 3D, the mask only for
-        export — callers np.asarray() those lazily."""
+    def _start_fetch(frame):
+        """Queue the async device->host copy of the display outputs NOW —
+        i.e. immediately after the frame's own program in the device
+        stream. Transfers serialize with compute through the relay, so a
+        copy queued after the NEXT frame's dispatch would wait out that
+        frame's entire device time (profiled: +46 ms/frame at 512^2);
+        queued here it completes the moment its producer does."""
         u8, depth, mask, pts2d, valid = frame
-        # overlap the relay RTTs of the (tiny) point fetches with the pixel
-        # fetch instead of paying one round trip per np.asarray
         for a in (u8, pts2d, valid):
             try:
                 a.copy_to_host_async()
             except AttributeError:
                 pass
+
+    @staticmethod
+    def _fetch(frame):
+        """Materialize ONLY the display pixels; everything else stays
+        on-device.
+
+        (Fetching depth f32 + mask alongside the uint8 frame profiled at
+        ~50 ms/frame through the relay — the u8-only fetch runs at device
+        speed.) Depth is needed on the host only when a click lifts to 3D,
+        the mask only for export — callers np.asarray() those lazily."""
+        u8, depth, mask, pts2d, valid = frame
         return np.asarray(u8), depth, mask, pts2d, valid
 
     def render(self, pose, intr, points3d=None, active=None, aabb=None,
@@ -228,6 +236,7 @@ class FramePipeline:
         one on the first call)."""
         new = self._dispatch(pose, intr, points3d, active, aabb, bg_color,
                              spp, key, mode, perturb)
+        self._start_fetch(new)
         prev, self._pending = self._pending, new
         return self._fetch(prev if prev is not None else new)
 
@@ -235,9 +244,10 @@ class FramePipeline:
                     bg_color=1.0, spp=0, key=None, mode="image",
                     perturb=False):
         self._pending = None
-        return self._fetch(self._dispatch(
-            pose, intr, points3d, active, aabb, bg_color, spp, key, mode,
-            perturb))
+        new = self._dispatch(pose, intr, points3d, active, aabb, bg_color,
+                             spp, key, mode, perturb)
+        self._start_fetch(new)
+        return self._fetch(new)
 
     def flush(self):
         if self._pending is not None:
