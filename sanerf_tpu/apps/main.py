@@ -134,6 +134,9 @@ def build_parser() -> argparse.ArgumentParser:
     # TPU-native extensions
     p.add_argument("--field_type", type=str, default="mlp",
                    choices=["mlp", "hashgrid"])
+    p.add_argument("--mlp_width", type=int, default=None,
+                   help="MLP-family field width (default: the quality-gated"
+                        " ModelConfig value)")
     p.add_argument("--use_wandb", action="store_true")
     p.add_argument("--write_video", action="store_true")
     return p
@@ -157,6 +160,9 @@ def config_from_args(args) -> Config:
         redundant_instance=args.redundant_instance,
         grid_desired_resolution=int(2048 * (2.0 if args.contract else args.bound)),
     )
+    if args.mlp_width is not None:
+        import dataclasses as _dc
+        model = _dc.replace(model, mlp_field_width=args.mlp_width)
     # the MLP field family trains best with a gentler schedule than the
     # hash-grid recipe's lr=1e-2 (which diverges on deep 8x256 MLPs); scale
     # the default unless the user overrode --lr

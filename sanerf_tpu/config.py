@@ -78,7 +78,12 @@ class ModelConfig:
     geom_feat_dim: int = 15  # network.py:99
     # --- mlp field family ---
     mlp_enc_freqs: int = 10  # positional-encoding frequencies for the field
-    mlp_field_width: int = 256
+    # 128: quality-gated on the adversarial textured fixture at 20k iters —
+    # width 128 scored HIGHER held-out PSNR than 256 (14.89 vs 13.78 dB,
+    # tools/quality_gate.py; capacity above 128 buys floaters, not detail,
+    # at this scene scale) and the field chain is the dominant frame cost
+    # (README "Performance"). --mlp_width overrides per run.
+    mlp_field_width: int = 128
     mlp_field_depth: int = 8
     mlp_prop_enc_freqs: int = 5
     mlp_prop_width: int = 64
