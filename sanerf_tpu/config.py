@@ -85,6 +85,14 @@ class ModelConfig:
     # (README "Performance"). --mlp_width overrides per run.
     mlp_field_width: int = 128
     mlp_field_depth: int = 8
+    # CP-factorized line grid augmenting the field MLP's input (0 = off).
+    # TPU-native high-capacity encoder: 1-D line interpolation as one-hot
+    # MATMULS (ops/cpgrid.py) — grid capacity without the table gathers
+    # that serialize the hashgrid family on this hardware. Experimental:
+    # the fused inference kernels don't consume it yet, so cp_rank > 0
+    # renders through the XLA path.
+    mlp_cp_rank: int = 0
+    mlp_cp_res: int = 256
     mlp_prop_enc_freqs: int = 5
     mlp_prop_width: int = 64
     mlp_prop_depth: int = 4

@@ -31,7 +31,7 @@ import jax
 import jax.numpy as jnp
 
 from sanerf_tpu.config import HashGridConfig, ModelConfig, RenderConfig
-from sanerf_tpu.ops import hashgrid
+from sanerf_tpu.ops import cpgrid, hashgrid
 from sanerf_tpu.ops.activation import shifted_softplus, trunc_exp
 from sanerf_tpu.ops.freq import freq_encode, freq_output_dim
 from sanerf_tpu.ops.sh import sh_encode, sh_output_dim
@@ -196,7 +196,8 @@ class NerfModel:
         """Dim of the positional feature feeding grid_mlp (hash-grid output
         or Fourier features)."""
         if self.is_mlp_field:
-            return freq_output_dim(3, self.cfg.mlp_enc_freqs)
+            return (freq_output_dim(3, self.cfg.mlp_enc_freqs)
+                    + self.cfg.mlp_cp_rank)
         return self.grid_spec.output_dim
 
     @property
@@ -340,6 +341,9 @@ def init_params(model: NerfModel, key: jax.Array) -> Params:
                 for _ in range(len(c.prop_resolutions))
             ],
         }
+        if c.mlp_cp_rank > 0:
+            params["cp_lines"] = cpgrid.init_lines(
+                next(keys), c.mlp_cp_res, c.mlp_cp_rank)
         if c.with_sam:
             params["s_field_mlp"] = init_mlp(
                 next(keys), model.grid_out_dim, model.s_feat_dim,
@@ -454,6 +458,19 @@ def density_activation(model: NerfModel, f0: jax.Array) -> jax.Array:
     return trunc_exp(f0)
 
 
+def position_features(model: NerfModel, params: Params, x: jax.Array,
+                      dtype=None) -> jax.Array:
+    """The MLP family's positional feature: Fourier bands, plus the
+    CP-line features when mlp_cp_rank > 0 (shared by the RGB, SAM and mask
+    field MLPs — grid_out_dim accounts for the concat)."""
+    h = freq_encode(x * (jnp.pi / model.bound), model.cfg.mlp_enc_freqs,
+                    out_dtype=dtype)
+    if model.cfg.mlp_cp_rank > 0:
+        cp = cpgrid.line_features(params["cp_lines"], x, model.bound)
+        h = jnp.concatenate([h, cp.astype(h.dtype)], axis=-1)
+    return h
+
+
 def common_forward(
     model: NerfModel, params: Params, x: jax.Array, save_intermediates: bool = False,
     fast: bool = False, x_T: Optional[jax.Array] = None,
@@ -474,8 +491,8 @@ def common_forward(
         geo_feat = fT[1 : 1 + model.cfg.geom_feat_dim].T
         return sigma, geo_feat, None, []
     if model.is_mlp_field:
-        grid_output = freq_encode(x * (jnp.pi / model.bound), model.cfg.mlp_enc_freqs,
-                                  out_dtype=params["grid_mlp"][0]["w"].dtype)
+        grid_output = position_features(
+            model, params, x, dtype=params["grid_mlp"][0]["w"].dtype)
         f, inter = apply_skip_mlp(
             params["grid_mlp"], grid_output,
             (model.cfg.mlp_field_depth // 2,), save_intermediates,
@@ -582,8 +599,8 @@ def sam_features(model: NerfModel, params: Params, x: jax.Array) -> jax.Array:
     """Per-point SAM field feature (s_grid lookup, renderer.py:302-303; MLP
     field in the flagship family)."""
     if model.is_mlp_field:
-        h = freq_encode(x * (jnp.pi / model.bound), model.cfg.mlp_enc_freqs,
-                        out_dtype=params["s_field_mlp"][0]["w"].dtype)
+        h = position_features(model, params, x,
+                              dtype=params["s_field_mlp"][0]["w"].dtype)
         out, _ = apply_mlp(params["s_field_mlp"], h)
         return out
     return hashgrid.hash_encode(x, params["s_grid"], model.s_grid_spec, model.bound)
@@ -591,7 +608,7 @@ def sam_features(model: NerfModel, params: Params, x: jax.Array) -> jax.Array:
 
 def mask_grid_features(model: NerfModel, params: Params, x: jax.Array) -> jax.Array:
     if model.is_mlp_field:
-        h = freq_encode(x * (jnp.pi / model.bound), model.cfg.mlp_enc_freqs)
+        h = position_features(model, params, x)
         out, _ = apply_mlp(params["m_field_mlp"], h)
         return out
     return hashgrid.hash_encode(x, params["m_grid"], model.m_grid_spec, model.bound)

@@ -49,12 +49,17 @@ def run_family(field_type: str, args, mlp_width: int | None = None) -> dict:
                      prop_resolutions=(128, 256))
     if mlp_width is not None:
         mc = dataclasses.replace(mc, mlp_field_width=mlp_width)
+    if field_type == "mlp" and args.cp_rank:
+        mc = dataclasses.replace(mc, mlp_cp_rank=args.cp_rank,
+                                 mlp_cp_res=args.cp_res)
     tc = TrainConfig(iters=args.iters, num_rays=args.num_rays,
                      adaptive_num_rays=False, lambda_distort=args.distort,
                      lr=args.lr, eval_cnt=1, save_cnt=1,
                      use_native_loader=not args.no_native)
     cfg = Config(workspace=f"{args.workspace}/{field_type}"
-                 + (f"_w{mlp_width}" if mlp_width else ""),
+                 + (f"_w{mlp_width}" if mlp_width else "")
+                 + (f"_cp{args.cp_rank}" if field_type == "mlp"
+                    and args.cp_rank else ""),
                  render=rc, model=mc, train=tc)
 
     train_ds = SyntheticSphereDataset(H=args.H, W=args.H, n_views=args.views,
@@ -76,6 +81,7 @@ def run_family(field_type: str, args, mlp_width: int | None = None) -> dict:
     wall = time.time() - t0
     res = tr.evaluate_one_epoch(eval_ds, save_artifacts=args.save_artifacts)
     out = {"field": field_type, "width": mlp_width,
+           "cp_rank": args.cp_rank if field_type == "mlp" else None,
            "psnr": float(res["PSNRMeter"]), "train_s": round(wall, 1),
            "iters": args.iters}
     print(json.dumps(out))
@@ -97,6 +103,9 @@ def main(argv=None):
     ap.add_argument("--num_steps", type=int, nargs="+", default=[128, 64, 32])
     ap.add_argument("--families", nargs="+", default=["mlp", "hashgrid"])
     ap.add_argument("--mlp_width", type=int, default=None)
+    ap.add_argument("--cp_rank", type=int, default=0,
+                    help="CP line-grid rank for the mlp family (0 = off)")
+    ap.add_argument("--cp_res", type=int, default=256)
     ap.add_argument("--workspace", default="/tmp/quality_gate")
     ap.add_argument("--save_artifacts", action="store_true")
     ap.add_argument("--no_native", action="store_true")
