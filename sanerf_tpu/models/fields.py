@@ -631,6 +631,11 @@ def apply_total_variation(
     s_grid when with_sam, m_grid when with_mask, else the RGB grid."""
     c = model.cfg
     if model.is_mlp_field:
+        if c.mlp_cp_rank > 0 and "cp_lines" in params:
+            # 1-D TV on the CP lines (TensoRF's regularizer; controls the
+            # view-dependent floaters factorized grids otherwise grow)
+            return {"cp_lines": cpgrid.grad_total_variation(
+                params["cp_lines"], weight)}
         return {}  # no tables; smoothness comes from the band-limited encoding
     if c.with_sam:
         return {"s_grid": hashgrid.grad_total_variation(x01, params["s_grid"], model.s_grid_spec, weight)}

@@ -80,3 +80,17 @@ def line_features_ref(lines: jax.Array, x: jax.Array,
         fa = v0 * (1.0 - f[:, a : a + 1]) + v1 * f[:, a : a + 1]
         feat = fa if feat is None else feat * fa
     return feat
+
+
+def grad_total_variation(lines: jax.Array, weight: float) -> jax.Array:
+    """Gradient of the 1-D total-variation penalty weight * sum_i
+    (L[i+1] - L[i])^2 over every line/rank — TensoRF's TV term, the
+    classic floater control for factorized grids. Returned as a gradient
+    CONTRIBUTION (matching hashgrid.grad_total_variation's contract) so
+    the train step adds it to the autodiff grads without a second
+    backward pass: d/dL[i] = 2w * ((L[i] - L[i-1]) + (L[i] - L[i+1]))."""
+    d = lines[:, 1:, :] - lines[:, :-1, :]  # [3, R-1, K]
+    g = jnp.zeros_like(lines)
+    g = g.at[:, 1:, :].add(2.0 * weight * d)
+    g = g.at[:, :-1, :].add(-2.0 * weight * d)
+    return g
