@@ -54,6 +54,7 @@ def run_family(field_type: str, args, mlp_width: int | None = None) -> dict:
                                  mlp_cp_res=args.cp_res)
     tc = TrainConfig(iters=args.iters, num_rays=args.num_rays,
                      adaptive_num_rays=False, lambda_distort=args.distort,
+                     lambda_tv=args.tv,
                      lr=args.lr, eval_cnt=1, save_cnt=1,
                      use_native_loader=not args.no_native)
     cfg = Config(workspace=f"{args.workspace}/{field_type}"
@@ -106,6 +107,8 @@ def main(argv=None):
     ap.add_argument("--cp_rank", type=int, default=0,
                     help="CP line-grid rank for the mlp family (0 = off)")
     ap.add_argument("--cp_res", type=int, default=256)
+    ap.add_argument("--tv", type=float, default=0.0,
+                    help="lambda_tv (reaches CP lines for the mlp family)")
     ap.add_argument("--workspace", default="/tmp/quality_gate")
     ap.add_argument("--save_artifacts", action="store_true")
     ap.add_argument("--no_native", action="store_true")
