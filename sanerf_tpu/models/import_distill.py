@@ -54,9 +54,13 @@ _SIGMA_CAP = float(np.exp(12.0))
 _LOGIT_CLIP = 30.0  # pre-activation guard against exp overflow
 
 
-def student_config(teacher_cfg: ModelConfig) -> ModelConfig:
+def student_config(teacher_cfg: ModelConfig, cp_rank: int = 0,
+                   cp_res: int = 256) -> ModelConfig:
     """The MLP-family twin of a hash-grid config: same heads, same feature
-    dims, field_type flipped."""
+    dims, field_type flipped. `cp_rank > 0` gives the student a
+    CP-factorized line grid (ops/cpgrid.py) — more fitting capacity for
+    high-frequency teachers at matmul-only cost (renders via the XLA path
+    until the fused kernels consume CP)."""
     # mask-feature width tracks the teacher's m_grid output
     # (fields.make_model: default 16x8, lightweight 16x2)
     mask_dim = {"default": 128, "lightweight_mask": 32}.get(
@@ -64,6 +68,8 @@ def student_config(teacher_cfg: ModelConfig) -> ModelConfig:
     return dataclasses.replace(
         teacher_cfg,
         field_type="mlp",
+        mlp_cp_rank=cp_rank,
+        mlp_cp_res=cp_res,
         mlp_sam_feat_dim=(teacher_cfg.s_grid_num_levels
                           * teacher_cfg.s_grid_level_dim),
         mlp_mask_feat_dim=mask_dim,
@@ -97,7 +103,7 @@ def _teacher_prop(model: NerfModel, params: Params, i: int, x: jax.Array):
 
 
 def _student_field(model: NerfModel, params: Params, x: jax.Array) -> jax.Array:
-    h = freq_encode(x * (jnp.pi / model.bound), model.cfg.mlp_enc_freqs)
+    h = fields.position_features(model, params, x)
     f, _ = fields.apply_skip_mlp(
         params["grid_mlp"], h, (model.cfg.mlp_field_depth // 2,))
     return f
@@ -231,6 +237,8 @@ def distill_to_mlp(
 
     train_tree: Params = {"grid_mlp": student["grid_mlp"],
                           "prop": student["prop"]}
+    if "cp_lines" in student:
+        train_tree["cp_lines"] = student["cp_lines"]
     if "sam" in targets:
         train_tree["s_field_mlp"] = student["s_field_mlp"]
     if "mask" in targets:
@@ -251,15 +259,11 @@ def distill_to_mlp(
             losses[f"prop{i}"] = _match_loss(
                 _student_prop(student_model, p, i, xb), tb[f"prop{i}"])
         if "sam" in tb:
-            h = freq_encode(
-                xb * (jnp.pi / student_model.bound),
-                student_model.cfg.mlp_enc_freqs)
+            h = fields.position_features(student_model, p, xb)
             out, _ = fields.apply_mlp(p["s_field_mlp"], h)
             losses["sam"] = jnp.mean((out - tb["sam"]) ** 2)
         if "mask" in tb:
-            h = freq_encode(
-                xb * (jnp.pi / student_model.bound),
-                student_model.cfg.mlp_enc_freqs)
+            h = fields.position_features(student_model, p, xb)
             out, _ = fields.apply_mlp(p["m_field_mlp"], h)
             losses["mask"] = jnp.mean((out - tb["mask"]) ** 2)
         return sum(losses.values()), losses

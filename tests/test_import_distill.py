@@ -112,3 +112,24 @@ def test_distill_sam_and_mask_targets_present():
     d = jnp.tile(jnp.array([[0.0, 0.0, -1.0]]), (64, 1))
     out = renderer.render_staged(sm, sp, o, d, return_feats=True)
     assert np.isfinite(np.asarray(out["samvit"])).all()
+
+
+def test_distill_to_cp_student():
+    """A CP-augmented student fits the hash-grid teacher at least as well
+    as the plain MLP student (it strictly contains it) and trains its
+    line tables."""
+    teacher, tparams = _tiny_models()
+    tparams["grid"] = _smooth_tables(teacher.grid_spec, seed=7)
+    for i, p in enumerate(tparams["prop"]):
+        p["grid"] = _smooth_tables(teacher.prop_specs[i], seed=8 + i)
+    scfg = import_distill.student_config(teacher.cfg, cp_rank=8, cp_res=16)
+    student = fields.make_model(scfg, teacher.render_cfg)
+    sm, sp, report = import_distill.distill_to_mlp(
+        teacher, tparams, key=jax.random.key(0), student_model=student,
+        n_points=1 << 13, batch=512, iters=200, render_check=0)
+    assert sm.cfg.mlp_cp_rank == 8
+    assert "cp_lines" in sp
+    init = fields.init_params(sm, jax.random.key(0))
+    # the line tables moved (they are part of the fit)
+    assert float(jnp.abs(sp["cp_lines"] - init["cp_lines"]).max()) > 0
+    assert np.isfinite(report["losses"]["field"])

@@ -48,6 +48,10 @@ def main(argv=None):
     ap.add_argument("--n_points", type=int, default=1 << 22)
     ap.add_argument("--batch", type=int, default=1 << 15)
     ap.add_argument("--lr", type=float, default=2e-3)
+    ap.add_argument("--cp_rank", type=int, default=0,
+                    help="give the student a CP line grid of this rank "
+                         "(more fitting capacity; XLA-path rendering)")
+    ap.add_argument("--cp_res", type=int, default=256)
     ap.add_argument("--render_check", type=int, default=2,
                     help="orbit frames for the fidelity PSNR (0 = skip)")
     ap.add_argument("--keep_hashgrid", action="store_true",
@@ -81,10 +85,14 @@ def main(argv=None):
 
     print(f"[import] distilling into the MLP family "
           f"({args.iters} iters, {args.n_points} points)")
+    student = None
+    if args.cp_rank:
+        student = fields.make_model(import_distill.student_config(
+            tc, cp_rank=args.cp_rank, cp_res=args.cp_res), rc)
     student_model, sparams, report = import_distill.distill_to_mlp(
         teacher, tparams, key=jax.random.key(0),
         n_points=args.n_points, batch=args.batch, iters=args.iters,
-        lr=args.lr, render_check=args.render_check)
+        lr=args.lr, render_check=args.render_check, student_model=student)
     mgr = CheckpointManager(args.workspace, name=args.name)
     path = mgr.save(0, sparams, ema_params=sparams, full=False)
     out = {"checkpoint": path, "family": "mlp", **{
