@@ -544,7 +544,7 @@ def field_forward_T(model: NerfModel, params: Params, x, transposed: bool):
     return run_tmlp(
         x, params["grid_mlp"], model.cfg.mlp_enc_freqs, model.bound,
         (model.cfg.mlp_field_depth // 2,), leaky=True, block=4096,
-        transposed=transposed,
+        transposed=transposed, cp_lines=params.get("cp_lines"),
     )
 
 
@@ -564,6 +564,7 @@ def field_composite_T(model: NerfModel, params: Params, xT, dl, ts,
         rays8=rays8 if with_view else None,
         view_layers=params["view_mlp"] if with_view else None,
         sh_degree=model.cfg.sh_degree,
+        cp_lines=params.get("cp_lines"),
     )
 
 

@@ -105,6 +105,50 @@ def _ad_encode(xT, z0_projT, z0_phase, n_freqs: int):
     return jnp.concatenate(slabs, axis=0)
 
 
+def extend_row_map_cp(row_map, n_cp: int):
+    """Append CP-feature rows to the angle-doubling slab row map: the
+    position feature is [freq_tight, cp] (fields.position_features), so the
+    CP rows map to tight columns F..F+K-1, 8-padded."""
+    F = max(r for r in row_map if r >= 0) + 1
+    ext = list(row_map) + list(range(F, F + n_cp))
+    while len(ext) % 8:
+        ext.append(-1)
+    return tuple(ext)
+
+
+def _cp_block(xT, cp_ref, cp_info, f32_dots: bool):
+    """In-kernel CP line features, transposed layout: [Kp, B] block to
+    append to the encoding (ops/cpgrid.py math — 1-D interpolation as a
+    2-nonzero one-hot [R, B] built from an iota compare, contracted with
+    the resident [K, R] line table on the MXU)."""
+    R, K, Kp, s, o = cp_info
+    B = xT.shape[1]
+    u = jnp.clip(xT[:3] * s + o, 0.0, R - 1.0)  # [3, B] grid coords
+    i0f = jnp.floor(u)
+    frac = u - i0f
+    i0 = i0f.astype(jnp.int32)
+    iota = jax.lax.broadcasted_iota(jnp.int32, (R, B), 0)
+    feat = None
+    for a in range(3):
+        ia = i0[a : a + 1]
+        fa = frac[a : a + 1]
+        W = (jnp.where(iota == ia, 1.0 - fa, 0.0)
+             + jnp.where(iota == ia + 1, fa, 0.0))  # [R, B]
+        la = cp_ref[a]  # [K, R]
+        if f32_dots:
+            la = la.astype(jnp.float32)
+        else:
+            W = W.astype(la.dtype)
+        fa_feat = jax.lax.dot_general(
+            la, W, dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)  # [K, B]
+        feat = fa_feat if feat is None else feat * fa_feat
+    if Kp > K:
+        feat = jnp.concatenate(
+            [feat, jnp.zeros((Kp - K, B), feat.dtype)], axis=0)
+    return feat
+
+
 def pack_tmlp(layers, enc_pad: int, skip_layers: Sequence[int] = (),
               dtype=jnp.bfloat16):
     """Pack [in, out]-layout layers into one transposed stack [L, Np, Kp].
@@ -220,7 +264,8 @@ def pack_tmlp_traced(layers, enc_pad: int, skip_layers: Sequence[int] = (),
 def run_tmlp(x, layers, enc_freqs: int, bound: float,
              skip_layers: Sequence[int] = (), leaky: bool = False,
              block: int = 2048, interpret: Optional[bool] = None,
-             transposed: bool = False, angle_double: bool = True) -> jax.Array:
+             transposed: bool = False, angle_double: bool = True,
+             cp_lines=None) -> jax.Array:
     """One-shot traceable entry: x [N, 3] (or [3, N] with `transposed`) ->
     [out_pad, N] f32 transposed outputs. Packs in-trace (pack_tmlp_traced);
     usable inside run_rays. Feeding [3, N] avoids both the XLA transpose
@@ -235,9 +280,19 @@ def run_tmlp(x, layers, enc_freqs: int, bound: float,
         dtype = jnp.float32
     if interpret is None:
         interpret = jax.default_backend() == "cpu"
+    if cp_lines is not None:
+        assert angle_double, "CP lines require the angle-doubling encode"
     if angle_double:
         z0_projT, z0_phase, row_map = make_ad_consts(
             enc_freqs, float(np.pi / bound))
+        cpT = cp_info = None
+        if cp_lines is not None:
+            R_, K_ = cp_lines.shape[1], cp_lines.shape[2]
+            base_rows = len(row_map)
+            row_map = extend_row_map_cp(row_map, K_)
+            cpT = jnp.swapaxes(cp_lines, 1, 2).astype(dtype)  # [3, K, R]
+            cp_info = (R_, K_, len(row_map) - base_rows,
+                       (R_ - 1) / (2.0 * bound), (R_ - 1) / 2.0)
         wstack, bias, dims = pack_tmlp_traced(
             layers, len(row_map), skip_layers, dtype, enc_row_map=row_map)
         out_rows = _round_up(dims[-1][2], 8)
@@ -254,7 +309,8 @@ def run_tmlp(x, layers, enc_freqs: int, bound: float,
                 axis=1)
         return _run_tmlp(xT, wstack, bias, z0_projT,
                          z0_phase, lmask, dims, leaky, block, out_rows,
-                         interpret, ad_freqs=enc_freqs)
+                         interpret, ad_freqs=enc_freqs, cpT=cpT,
+                         cp_info=cp_info)
     projT, phase, lmask, _ = make_enc_consts(enc_freqs, float(np.pi / bound))
     wstack, bias, dims = pack_tmlp_traced(layers, projT.shape[0], skip_layers,
                                           dtype)
@@ -272,7 +328,7 @@ def run_tmlp(x, layers, enc_freqs: int, bound: float,
 
 def _encode_and_chain(dims, leaky, has_bias, ad_freqs, xT, w_ref, projT_ref,
                       phase_ref, lmask_ref, b_ref, f32_dots: bool = False,
-                      last_bt: bool = False):
+                      last_bt: bool = False, cp=None):
     """Shared kernel body: Fourier encode + the full MLP chain.
     Returns the LAST layer's f32 accumulator [kout, B] — or [B, kout] with
     `last_bt` (the last dot contracts over the LHS activation's leading dim
@@ -292,6 +348,8 @@ def _encode_and_chain(dims, leaky, has_bias, ad_freqs, xT, w_ref, projT_ref,
         z = jnp.dot(projT_ref[:], xT, preferred_element_type=jnp.float32)
         lm = lmask_ref[:]
         enc = lm * z + (1.0 - lm) * jnp.sin(z + phase_ref[:])  # [Fp, B]
+    if cp is not None:
+        enc = jnp.concatenate([enc, cp.astype(enc.dtype)], axis=0)
     enc = enc.astype(act_dtype)
     h = enc
     for l, (kin_h, kin_e, kout) in enumerate(dims):
@@ -325,16 +383,29 @@ def _encode_and_chain(dims, leaky, has_bias, ad_freqs, xT, w_ref, projT_ref,
 
 
 def _tmlp_kernel(dims: Tuple[Tuple[int, int, int], ...], leaky: bool,
-                 has_bias: bool, out_rows: int, ad_freqs: int = 0):
+                 has_bias: bool, out_rows: int, ad_freqs: int = 0,
+                 cp_info=None, f32_dots: bool = False):
     n = len(dims)
 
     def kernel(xT_ref, w_ref, projT_ref, phase_ref, lmask_ref, *rest):
-        # pallas arg order: inputs (incl. optional bias), then outputs
-        b_ref = rest[0] if has_bias else None
+        # pallas arg order: inputs (incl. optional bias, cp lines), then
+        # outputs
+        pos = 0
+        b_ref = None
+        if has_bias:
+            b_ref = rest[pos]
+            pos += 1
+        cp_ref = None
+        if cp_info is not None:
+            cp_ref = rest[pos]
+            pos += 1
         out_ref = rest[-1]
         xT = xT_ref[:].astype(jnp.float32)  # [8 or 3, B]
+        cp = (None if cp_info is None
+              else _cp_block(xT, cp_ref, cp_info, f32_dots))
         acc = _encode_and_chain(dims, leaky, has_bias, ad_freqs, xT, w_ref,
-                                projT_ref, phase_ref, lmask_ref, b_ref)
+                                projT_ref, phase_ref, lmask_ref, b_ref,
+                                f32_dots=f32_dots, cp=cp)
         kout = dims[-1][2]
         out_ref[:kout] = acc
         if out_rows > kout:
@@ -400,7 +471,8 @@ def pack_view_weights(view_layers, geo_dim: int, sh_dim: int, kout: int,
 def _tmlp_composite_kernel(dims, leaky: bool, has_bias: bool, T: int,
                            opaque: bool, ad_freqs: int = 0,
                            f32_dots: bool = False,
-                           view: Optional[Tuple[int, int, int]] = None):
+                           view: Optional[Tuple[int, int, int]] = None,
+                           cp_info=None):
     """Field chain + in-VMEM alpha compositing epilogue.
 
     The block covers R = B // T whole rays. After the last layer the
@@ -426,14 +498,20 @@ def _tmlp_composite_kernel(dims, leaky: bool, has_bias: bool, T: int,
         if has_bias:
             b_ref = rest[pos]
             pos += 1
+        cp_ref = None
+        if cp_info is not None:
+            cp_ref = rest[pos]
+            pos += 1
         if view is not None:
             rays_ref, vgeo_ref, vsh_ref, vrest_ref = rest[pos : pos + 4]
             pos += 4
         gsum_ref, aux_ref = rest[-2], rest[-1]
         xT = xT_ref[:].astype(jnp.float32)  # [3 or 8, B]
+        cp = (None if cp_info is None
+              else _cp_block(xT, cp_ref, cp_info, f32_dots))
         acc = _encode_and_chain(dims, leaky, has_bias, ad_freqs, xT, w_ref,
                                 projT_ref, phase_ref, lmask_ref, b_ref,
-                                f32_dots, last_bt=True)  # [B, kout]
+                                f32_dots, last_bt=True, cp=cp)  # [B, kout]
         kout = dims[-1][2]
         B = acc.shape[0]
         R = B // T
@@ -521,12 +599,12 @@ def _tmlp_composite_kernel(dims, leaky: bool, has_bias: bool, T: int,
 @functools.partial(
     jax.jit,
     static_argnames=("dims", "leaky", "T", "opaque", "block", "out_rows",
-                     "interpret", "ad_freqs", "view"),
+                     "interpret", "ad_freqs", "view", "cp_info"),
 )
 def _run_tmlp_composite(xT, dl, ts, wstack, bias, projT, phase, lmask, dims,
                         leaky, T, opaque, block, out_rows, interpret,
                         ad_freqs=0, rays8=None, vgeo=None, vsh=None,
-                        vrest=None, view=None):
+                        vrest=None, view=None, cpT=None, cp_info=None):
     NT = xT.shape[1]
     N = NT // T
     rows = xT.shape[0]
@@ -546,7 +624,8 @@ def _run_tmlp_composite(xT, dl, ts, wstack, bias, projT, phase, lmask, dims,
     R = block // T
     has_bias = bias is not None
     kern = _tmlp_composite_kernel(dims, leaky, has_bias, T, opaque, ad_freqs,
-                                  f32_dots=interpret, view=view)
+                                  f32_dots=interpret, view=view,
+                                  cp_info=cp_info)
     in_specs = [
         pl.BlockSpec((rows, block), lambda i: (0, i), memory_space=pltpu.VMEM),
         pl.BlockSpec((R, T), lambda i: (i, 0), memory_space=pltpu.VMEM),
@@ -561,6 +640,10 @@ def _run_tmlp_composite(xT, dl, ts, wstack, bias, projT, phase, lmask, dims,
         in_specs.append(pl.BlockSpec(bias.shape, lambda i: (0, 0, 0),
                                      memory_space=pltpu.VMEM))
         args.append(bias)
+    if cp_info is not None:
+        in_specs.append(pl.BlockSpec(cpT.shape, lambda i: (0, 0, 0),
+                                     memory_space=pltpu.VMEM))
+        args.append(cpT)
     if view is not None:
         in_specs += [
             pl.BlockSpec((R, rays8.shape[1]), lambda i: (i, 0),
@@ -599,7 +682,8 @@ def run_tmlp_composite(xT, dl, ts, layers, enc_freqs: int, bound: float,
                        opaque: bool = True, block: int = 2048,
                        interpret: Optional[bool] = None,
                        angle_double: bool = True,
-                       rays8=None, view_layers=None, sh_degree: int = 4):
+                       rays8=None, view_layers=None, sh_degree: int = 4,
+                       cp_lines=None):
     """Final-level field query + alpha composite as ONE kernel.
 
     xT: [3, N*T] contracted sample coordinates (dims-first, the ray-kernel
@@ -628,9 +712,19 @@ def run_tmlp_composite(xT, dl, ts, layers, enc_freqs: int, bound: float,
         vgeo, vsh, vrest, (_Hv, n_rest, _) = pack_view_weights(
             view_layers, kout_field - 1, sh_dim, kout_field, dtype=dtype)
         view = (n_rest, sh_dim, sh_degree)
+    if cp_lines is not None:
+        assert angle_double, "CP lines require the angle-doubling encode"
     if angle_double:
         z0_projT, z0_phase, row_map = make_ad_consts(
             enc_freqs, float(np.pi / bound))
+        cpT = cp_info = None
+        if cp_lines is not None:
+            R_, K_ = cp_lines.shape[1], cp_lines.shape[2]
+            base_rows = len(row_map)
+            row_map = extend_row_map_cp(row_map, K_)
+            cpT = jnp.swapaxes(cp_lines, 1, 2).astype(dtype)  # [3, K, R]
+            cp_info = (R_, K_, len(row_map) - base_rows,
+                       (R_ - 1) / (2.0 * bound), (R_ - 1) / 2.0)
         wstack, bias, dims = pack_tmlp_traced(
             layers, len(row_map), skip_layers, dtype, enc_row_map=row_map)
         lmask = jnp.zeros((1, 1), jnp.float32)  # unused on this path
@@ -638,7 +732,8 @@ def run_tmlp_composite(xT, dl, ts, layers, enc_freqs: int, bound: float,
             xT.astype(jnp.float32), dl, ts, wstack, bias, z0_projT, z0_phase,
             lmask, dims, leaky, T, opaque, block,
             _round_up(dims[-1][2], 8), interpret, ad_freqs=enc_freqs,
-            rays8=rays8, vgeo=vgeo, vsh=vsh, vrest=vrest, view=view)
+            rays8=rays8, vgeo=vgeo, vsh=vsh, vrest=vrest, view=view,
+            cpT=cpT, cp_info=cp_info)
     else:
         projT, phase, lmask, _ = make_enc_consts(
             enc_freqs, float(np.pi / bound))
@@ -657,17 +752,19 @@ def run_tmlp_composite(xT, dl, ts, layers, enc_freqs: int, bound: float,
 @functools.partial(
     jax.jit,
     static_argnames=("dims", "leaky", "block", "out_rows", "interpret",
-                     "ad_freqs"),
+                     "ad_freqs", "cp_info"),
 )
 def _run_tmlp(xT, wstack, bias, projT, phase, lmask, dims, leaky,
-              block, out_rows, interpret, ad_freqs=0):
+              block, out_rows, interpret, ad_freqs=0, cpT=None,
+              cp_info=None):
     N = xT.shape[1]
     rows = xT.shape[0]  # 8 (padded) or 3 (transposed feed)
     Np = _round_up(max(N, block), block)
     if Np != N:
         xT = jnp.concatenate([xT, jnp.zeros((rows, Np - N), xT.dtype)], axis=1)
     has_bias = bias is not None
-    kern = _tmlp_kernel(dims, leaky, has_bias, out_rows, ad_freqs)
+    kern = _tmlp_kernel(dims, leaky, has_bias, out_rows, ad_freqs,
+                        cp_info=cp_info, f32_dots=interpret)
     in_specs = [
         pl.BlockSpec((rows, block), lambda i: (0, i), memory_space=pltpu.VMEM),
         pl.BlockSpec(wstack.shape, lambda i: (0, 0, 0), memory_space=pltpu.VMEM),
@@ -680,6 +777,10 @@ def _run_tmlp(xT, wstack, bias, projT, phase, lmask, dims, leaky,
         in_specs.append(pl.BlockSpec(bias.shape, lambda i: (0, 0, 0),
                                      memory_space=pltpu.VMEM))
         args.append(bias)
+    if cp_info is not None:
+        in_specs.append(pl.BlockSpec(cpT.shape, lambda i: (0, 0, 0),
+                                     memory_space=pltpu.VMEM))
+        args.append(cpT)
     out = pl.pallas_call(
         kern,
         grid=(Np // block,),

@@ -98,3 +98,75 @@ def test_run_tmlp_angle_double_parity(rng, ad):
     got_t = np.asarray(run_tmlp(x.T, layers, 6, 2.0, (2,), leaky=True,
                                 block=32, angle_double=ad, transposed=True))
     np.testing.assert_allclose(got_t[:16].T, ref, rtol=3e-4, atol=3e-4)
+
+
+def _ref_cp(layers, cp_lines, x, enc_freqs, bound, skip_layers, leaky):
+    from sanerf_tpu.ops.cpgrid import line_features_ref
+
+    enc = freq_encode(x * (jnp.pi / bound), enc_freqs)
+    cp = line_features_ref(cp_lines, x, bound)
+    enc = jnp.concatenate([enc, cp], axis=-1)
+    if skip_layers:
+        out, _ = fields.apply_skip_mlp(layers, enc, skip_layers)
+    else:
+        out, _ = fields.apply_mlp(layers, enc)
+    return out
+
+
+def test_run_tmlp_with_cp_lines(rng):
+    """In-kernel CP line features == gather-reference XLA path."""
+    from sanerf_tpu.ops.cpgrid import init_lines
+    from sanerf_tpu.ops.fused_mlp_t import run_tmlp
+
+    enc_freqs, bound, K, R = 4, 2.0, 8, 16
+    F = 3 * (1 + 2 * enc_freqs)
+    layers = fields.init_skip_mlp(jax.random.key(7), F + K, 16, 32, 4, (2,),
+                                  bias=False)
+    cp_lines = init_lines(jax.random.key(8), R, K)
+    x = jnp.asarray(rng.uniform(-bound, bound, (64, 3)).astype(np.float32))
+    # include exact domain corners (one-hot boundary handling)
+    x = x.at[0].set(jnp.array([-bound, bound, 0.0]))
+    ref = np.asarray(_ref_cp(layers, cp_lines, x, enc_freqs, bound, (2,),
+                             True))
+    got = np.asarray(run_tmlp(x, layers, enc_freqs, bound, (2,), leaky=True,
+                              block=32, cp_lines=cp_lines))
+    np.testing.assert_allclose(got[:16].T, ref, rtol=3e-4, atol=3e-4)
+
+
+def test_composite_kernel_with_cp_lines(rng):
+    """Fused field+composite kernel with CP == first-principles composite
+    over the XLA field reference (shifted-softplus density, opaque bg)."""
+    from sanerf_tpu.ops.cpgrid import init_lines
+    from sanerf_tpu.ops.fused_mlp_t import run_tmlp_composite
+
+    enc_freqs, bound, K, R = 3, 2.0, 8, 16
+    N, T = 8, 4
+    F = 3 * (1 + 2 * enc_freqs)
+    layers = fields.init_skip_mlp(jax.random.key(9), F + K, 16, 32, 4, (2,),
+                                  bias=False)
+    cp_lines = init_lines(jax.random.key(10), R, K)
+    x = jnp.asarray(rng.uniform(-bound, bound, (N * T, 3)).astype(np.float32))
+    dl = jnp.asarray(rng.uniform(0.05, 0.2, (N, T)).astype(np.float32))
+    ts = jnp.cumsum(dl, axis=1)
+
+    f = _ref_cp(layers, cp_lines, x, enc_freqs, bound, (2,), True)  # [NT, 16]
+    f = f.reshape(N, T, 16)
+    sigma = jax.nn.softplus(f[..., 0] - 1.0)
+    ds = dl * sigma
+    ds_op = ds.at[:, -1].set(jnp.inf)  # opaque background
+    alpha = 1.0 - jnp.exp(-ds_op)
+    trans = jnp.exp(-jnp.cumsum(jnp.pad(ds[:, :-1], ((0, 0), (1, 0))), axis=1))
+    w = alpha * trans
+    gsum_ref = jnp.einsum("nt,ntc->nc", w, f)
+    depth_ref = jnp.sum(w * ts, axis=1)
+    wsum_ref = jnp.sum(w, axis=1)
+
+    gsum, depth, wsum = run_tmlp_composite(
+        x.T, dl, ts, layers, enc_freqs, bound, (2,), leaky=True, opaque=True,
+        block=2 * T, cp_lines=cp_lines)
+    np.testing.assert_allclose(np.asarray(gsum)[:, :16], np.asarray(gsum_ref),
+                               rtol=1e-3, atol=1e-3)
+    np.testing.assert_allclose(np.asarray(depth), np.asarray(depth_ref),
+                               rtol=1e-3, atol=1e-3)
+    np.testing.assert_allclose(np.asarray(wsum), np.asarray(wsum_ref),
+                               rtol=1e-3, atol=1e-3)
