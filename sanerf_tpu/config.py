@@ -37,6 +37,11 @@ class RenderConfig:
     # inference-only: run the MLP-family field/prop chains as transposed
     # fused Pallas kernels (ops/fused_mlp_t.py) — activations stay in VMEM
     use_fused_mlp: bool = True
+    # let cp-augmented models (ModelConfig.mlp_cp_rank > 0) use the fused
+    # kernels' in-kernel CP dot. Interpret-mode parity is proven
+    # (tests/test_fused_mlp_t.py); default off until the kernels get a
+    # hardware Mosaic compile check (TPU-relay outage blocked it)
+    cp_fused: bool = False
 
     @property
     def grid_bound(self) -> float:

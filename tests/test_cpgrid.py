@@ -115,3 +115,28 @@ def test_line_tv_gradient_matches_autodiff():
         model, params, jnp.zeros((8, 3)), w)
     assert set(contrib) == {"cp_lines"}
     assert contrib["cp_lines"].shape == params["cp_lines"].shape
+
+
+def test_cp_fused_fast_path_matches_xla_path():
+    """run_rays with cp_fused=True (fused kernels, interpret mode on CPU)
+    == the XLA path for a cp-augmented model."""
+    rc = RenderConfig(num_steps=(8, 4), bound=4.0, contract=True,
+                      cp_fused=True)
+    rc_slow = dataclasses.replace(rc, use_fused_mlp=False)
+    mc = ModelConfig(field_type="mlp", mlp_cp_rank=8, mlp_cp_res=16,
+                     mlp_enc_freqs=4, mlp_field_width=32, mlp_field_depth=4,
+                     mlp_prop_enc_freqs=3, mlp_prop_width=16,
+                     mlp_prop_depth=2, prop_resolutions=(16,))
+    model_f = fields.make_model(mc, rc)
+    model_s = fields.make_model(mc, rc_slow)
+    params = fields.init_params(model_f, jax.random.key(0))
+    o = jnp.zeros((32, 3)) + jnp.array([0.0, 0.0, 2.0])
+    d = jax.random.normal(jax.random.key(1), (32, 3))
+    fast = renderer.run_rays(model_f, params, o, d)
+    slow = renderer.run_rays(model_s, params, o, d)
+    np.testing.assert_allclose(np.asarray(fast["image"]),
+                               np.asarray(slow["image"]),
+                               rtol=2e-3, atol=2e-3)
+    np.testing.assert_allclose(np.asarray(fast["depth"]),
+                               np.asarray(slow["depth"]),
+                               rtol=2e-3, atol=2e-3)
