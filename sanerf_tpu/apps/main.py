@@ -137,6 +137,13 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--mlp_width", type=int, default=None,
                    help="MLP-family field width (default: the quality-gated"
                         " ModelConfig value)")
+    p.add_argument("--cp_rank", type=int, default=0,
+                   help="CP line-grid rank for the mlp family (0 = off)")
+    p.add_argument("--cp_res", type=int, default=256)
+    p.add_argument("--vm_rank", type=int, default=0,
+                   help="TensoRF-VM plane-grid per-mode rank for the mlp"
+                        " family (0 = off)")
+    p.add_argument("--vm_res", type=int, default=64)
     p.add_argument("--use_wandb", action="store_true")
     p.add_argument("--write_video", action="store_true")
     return p
@@ -163,6 +170,12 @@ def config_from_args(args) -> Config:
     if args.mlp_width is not None:
         import dataclasses as _dc
         model = _dc.replace(model, mlp_field_width=args.mlp_width)
+    if args.cp_rank or args.vm_rank:
+        import dataclasses as _dc
+        model = _dc.replace(model, mlp_cp_rank=args.cp_rank,
+                            mlp_cp_res=args.cp_res,
+                            mlp_vm_rank=args.vm_rank,
+                            mlp_vm_res=args.vm_res)
     # the MLP field family trains best with a gentler schedule than the
     # hash-grid recipe's lr=1e-2 (which diverges on deep 8x256 MLPs); scale
     # the default unless the user overrode --lr

@@ -93,11 +93,18 @@ class ModelConfig:
     # CP-factorized line grid augmenting the field MLP's input (0 = off).
     # TPU-native high-capacity encoder: 1-D line interpolation as one-hot
     # MATMULS (ops/cpgrid.py) — grid capacity without the table gathers
-    # that serialize the hashgrid family on this hardware. Experimental:
-    # the fused inference kernels don't consume it yet, so cp_rank > 0
-    # renders through the XLA path.
+    # that serialize the hashgrid family on this hardware. The fused
+    # inference kernels consume it when RenderConfig.cp_fused is set;
+    # otherwise cp_rank > 0 renders through the XLA path.
     mlp_cp_rank: int = 0
     mlp_cp_res: int = 256
+    # VM (vector-matrix) factorized grid (0 = off): TensoRF's plane+line
+    # mode as one-hot MXU matmuls + a VPU reduction (ops/vmgrid.py) —
+    # denser capacity than CP lines for non-axis-aligned detail. Adds
+    # 3 * vm_rank features to the field MLP input. Renders through the
+    # XLA path (the fused kernels don't consume planes).
+    mlp_vm_rank: int = 0
+    mlp_vm_res: int = 64
     mlp_prop_enc_freqs: int = 5
     mlp_prop_width: int = 64
     mlp_prop_depth: int = 4

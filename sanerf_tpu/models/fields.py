@@ -31,7 +31,7 @@ import jax
 import jax.numpy as jnp
 
 from sanerf_tpu.config import HashGridConfig, ModelConfig, RenderConfig
-from sanerf_tpu.ops import cpgrid, hashgrid
+from sanerf_tpu.ops import cpgrid, hashgrid, vmgrid
 from sanerf_tpu.ops.activation import shifted_softplus, trunc_exp
 from sanerf_tpu.ops.freq import freq_encode, freq_output_dim
 from sanerf_tpu.ops.sh import sh_encode, sh_output_dim
@@ -197,7 +197,8 @@ class NerfModel:
         or Fourier features)."""
         if self.is_mlp_field:
             return (freq_output_dim(3, self.cfg.mlp_enc_freqs)
-                    + self.cfg.mlp_cp_rank)
+                    + self.cfg.mlp_cp_rank
+                    + 3 * self.cfg.mlp_vm_rank)
         return self.grid_spec.output_dim
 
     @property
@@ -344,6 +345,9 @@ def init_params(model: NerfModel, key: jax.Array) -> Params:
         if c.mlp_cp_rank > 0:
             params["cp_lines"] = cpgrid.init_lines(
                 next(keys), c.mlp_cp_res, c.mlp_cp_rank)
+        if c.mlp_vm_rank > 0:
+            params["vm_planes"], params["vm_lines"] = vmgrid.init_vm(
+                next(keys), c.mlp_vm_res, c.mlp_vm_rank)
         if c.with_sam:
             params["s_field_mlp"] = init_mlp(
                 next(keys), model.grid_out_dim, model.s_feat_dim,
@@ -468,6 +472,10 @@ def position_features(model: NerfModel, params: Params, x: jax.Array,
     if model.cfg.mlp_cp_rank > 0:
         cp = cpgrid.line_features(params["cp_lines"], x, model.bound)
         h = jnp.concatenate([h, cp.astype(h.dtype)], axis=-1)
+    if model.cfg.mlp_vm_rank > 0:
+        vm = vmgrid.vm_features(params["vm_planes"], params["vm_lines"],
+                                x, model.bound)
+        h = jnp.concatenate([h, vm.astype(h.dtype)], axis=-1)
     return h
 
 
@@ -632,12 +640,18 @@ def apply_total_variation(
     s_grid when with_sam, m_grid when with_mask, else the RGB grid."""
     c = model.cfg
     if model.is_mlp_field:
+        g: Params = {}
         if c.mlp_cp_rank > 0 and "cp_lines" in params:
             # 1-D TV on the CP lines (TensoRF's regularizer; controls the
             # view-dependent floaters factorized grids otherwise grow)
-            return {"cp_lines": cpgrid.grad_total_variation(
-                params["cp_lines"], weight)}
-        return {}  # no tables; smoothness comes from the band-limited encoding
+            g["cp_lines"] = cpgrid.grad_total_variation(
+                params["cp_lines"], weight)
+        if c.mlp_vm_rank > 0 and "vm_planes" in params:
+            g["vm_planes"] = vmgrid.grad_total_variation_planes(
+                params["vm_planes"], weight)
+            g["vm_lines"] = cpgrid.grad_total_variation(
+                params["vm_lines"], weight)
+        return g  # no tables otherwise; the band-limited encoding is smooth
     if c.with_sam:
         return {"s_grid": hashgrid.grad_total_variation(x01, params["s_grid"], model.s_grid_spec, weight)}
     if c.with_mask and model.m_grid_spec is not None:

@@ -55,12 +55,13 @@ _LOGIT_CLIP = 30.0  # pre-activation guard against exp overflow
 
 
 def student_config(teacher_cfg: ModelConfig, cp_rank: int = 0,
-                   cp_res: int = 256) -> ModelConfig:
+                   cp_res: int = 256, vm_rank: int = 0,
+                   vm_res: int = 64) -> ModelConfig:
     """The MLP-family twin of a hash-grid config: same heads, same feature
     dims, field_type flipped. `cp_rank > 0` gives the student a
-    CP-factorized line grid (ops/cpgrid.py) — more fitting capacity for
-    high-frequency teachers at matmul-only cost (renders via the XLA path
-    until the fused kernels consume CP)."""
+    CP-factorized line grid (ops/cpgrid.py), `vm_rank > 0` a TensoRF-VM
+    plane grid (ops/vmgrid.py) — more fitting capacity for high-frequency
+    teachers at matmul-only cost (VM renders via the XLA path)."""
     # mask-feature width tracks the teacher's m_grid output
     # (fields.make_model: default 16x8, lightweight 16x2)
     mask_dim = {"default": 128, "lightweight_mask": 32}.get(
@@ -70,6 +71,8 @@ def student_config(teacher_cfg: ModelConfig, cp_rank: int = 0,
         field_type="mlp",
         mlp_cp_rank=cp_rank,
         mlp_cp_res=cp_res,
+        mlp_vm_rank=vm_rank,
+        mlp_vm_res=vm_res,
         mlp_sam_feat_dim=(teacher_cfg.s_grid_num_levels
                           * teacher_cfg.s_grid_level_dim),
         mlp_mask_feat_dim=mask_dim,
@@ -239,6 +242,9 @@ def distill_to_mlp(
                           "prop": student["prop"]}
     if "cp_lines" in student:
         train_tree["cp_lines"] = student["cp_lines"]
+    for k in ("vm_planes", "vm_lines"):
+        if k in student:
+            train_tree[k] = student[k]
     if "sam" in targets:
         train_tree["s_field_mlp"] = student["s_field_mlp"]
     if "mask" in targets:
@@ -248,7 +254,8 @@ def distill_to_mlp(
     # the CP line tables underfit — measured +1.1 dB held-out on the rank-96
     # CP student at 4k distill iters, 12.5 -> 13.6 dB)
     def label(tree):
-        return {k: ("lines" if k == "cp_lines" else "rest")
+        grid_keys = ("cp_lines", "vm_planes", "vm_lines")
+        return {k: ("lines" if k in grid_keys else "rest")
                 for k in tree}
 
     tx = optax.chain(

@@ -133,3 +133,22 @@ def test_distill_to_cp_student():
     # the line tables moved (they are part of the fit)
     assert float(jnp.abs(sp["cp_lines"] - init["cp_lines"]).max()) > 0
     assert np.isfinite(report["losses"]["field"])
+
+
+def test_distill_to_vm_student():
+    """A VM-augmented student (TensoRF plane+line grid) distills and
+    trains its planes under the split-lr optimizer."""
+    teacher, tparams = _tiny_models()
+    tparams["grid"] = _smooth_tables(teacher.grid_spec, seed=7)
+    for i, p in enumerate(tparams["prop"]):
+        p["grid"] = _smooth_tables(teacher.prop_specs[i], seed=8 + i)
+    scfg = import_distill.student_config(teacher.cfg, vm_rank=4, vm_res=8)
+    student = fields.make_model(scfg, teacher.render_cfg)
+    sm, sp, report = import_distill.distill_to_mlp(
+        teacher, tparams, key=jax.random.key(0), student_model=student,
+        n_points=1 << 13, batch=512, iters=200, render_check=0)
+    assert sm.cfg.mlp_vm_rank == 4
+    init = fields.init_params(sm, jax.random.key(0))
+    for k in ("vm_planes", "vm_lines"):
+        assert float(jnp.abs(sp[k] - init[k]).max()) > 0, k
+    assert np.isfinite(report["losses"]["field"])

@@ -52,6 +52,10 @@ def main(argv=None):
                     help="give the student a CP line grid of this rank "
                          "(more fitting capacity; XLA-path rendering)")
     ap.add_argument("--cp_res", type=int, default=256)
+    ap.add_argument("--vm_rank", type=int, default=0,
+                    help="give the student a TensoRF-VM plane grid of "
+                         "this per-mode rank (XLA-path rendering)")
+    ap.add_argument("--vm_res", type=int, default=64)
     ap.add_argument("--render_check", type=int, default=2,
                     help="orbit frames for the fidelity PSNR (0 = skip)")
     ap.add_argument("--keep_hashgrid", action="store_true",
@@ -86,9 +90,10 @@ def main(argv=None):
     print(f"[import] distilling into the MLP family "
           f"({args.iters} iters, {args.n_points} points)")
     student = None
-    if args.cp_rank:
+    if args.cp_rank or args.vm_rank:
         student = fields.make_model(import_distill.student_config(
-            tc, cp_rank=args.cp_rank, cp_res=args.cp_res), rc)
+            tc, cp_rank=args.cp_rank, cp_res=args.cp_res,
+            vm_rank=args.vm_rank, vm_res=args.vm_res), rc)
     student_model, sparams, report = import_distill.distill_to_mlp(
         teacher, tparams, key=jax.random.key(0),
         n_points=args.n_points, batch=args.batch, iters=args.iters,

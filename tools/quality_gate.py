@@ -52,6 +52,9 @@ def run_family(field_type: str, args, mlp_width: int | None = None) -> dict:
     if field_type == "mlp" and args.cp_rank:
         mc = dataclasses.replace(mc, mlp_cp_rank=args.cp_rank,
                                  mlp_cp_res=args.cp_res)
+    if field_type == "mlp" and args.vm_rank:
+        mc = dataclasses.replace(mc, mlp_vm_rank=args.vm_rank,
+                                 mlp_vm_res=args.vm_res)
     tc = TrainConfig(iters=args.iters, num_rays=args.num_rays,
                      adaptive_num_rays=False, lambda_distort=args.distort,
                      lambda_tv=args.tv,
@@ -60,7 +63,9 @@ def run_family(field_type: str, args, mlp_width: int | None = None) -> dict:
     cfg = Config(workspace=f"{args.workspace}/{field_type}"
                  + (f"_w{mlp_width}" if mlp_width else "")
                  + (f"_cp{args.cp_rank}" if field_type == "mlp"
-                    and args.cp_rank else ""),
+                    and args.cp_rank else "")
+                 + (f"_vm{args.vm_rank}" if field_type == "mlp"
+                    and args.vm_rank else ""),
                  render=rc, model=mc, train=tc)
 
     train_ds = SyntheticSphereDataset(H=args.H, W=args.H, n_views=args.views,
@@ -83,6 +88,7 @@ def run_family(field_type: str, args, mlp_width: int | None = None) -> dict:
     res = tr.evaluate_one_epoch(eval_ds, save_artifacts=args.save_artifacts)
     out = {"field": field_type, "width": mlp_width,
            "cp_rank": args.cp_rank if field_type == "mlp" else None,
+           "vm_rank": args.vm_rank if field_type == "mlp" else None,
            "psnr": float(res["PSNRMeter"]), "train_s": round(wall, 1),
            "iters": args.iters}
     print(json.dumps(out))
@@ -107,6 +113,10 @@ def main(argv=None):
     ap.add_argument("--cp_rank", type=int, default=0,
                     help="CP line-grid rank for the mlp family (0 = off)")
     ap.add_argument("--cp_res", type=int, default=256)
+    ap.add_argument("--vm_rank", type=int, default=0,
+                    help="VM plane-grid per-mode rank for the mlp family "
+                         "(0 = off)")
+    ap.add_argument("--vm_res", type=int, default=64)
     ap.add_argument("--tv", type=float, default=0.0,
                     help="lambda_tv (reaches CP lines for the mlp family)")
     ap.add_argument("--workspace", default="/tmp/quality_gate")
