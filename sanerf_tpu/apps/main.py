@@ -144,6 +144,9 @@ def build_parser() -> argparse.ArgumentParser:
                    help="TensoRF-VM plane-grid per-mode rank for the mlp"
                         " family (0 = off)")
     p.add_argument("--vm_res", type=int, default=64)
+    p.add_argument("--grid_lr_mult", type=float, default=10.0,
+                   help="lr multiplier for CP/VM grid tables "
+                        "(TensoRF's grid-vs-net split)")
     p.add_argument("--use_wandb", action="store_true")
     p.add_argument("--write_video", action="store_true")
     return p
@@ -190,6 +193,7 @@ def config_from_args(args) -> Config:
         lambda_wd=args.lambda_wd, lambda_proposal=args.lambda_proposal,
         lambda_distort=args.lambda_distort, save_cnt=args.save_cnt,
         eval_cnt=args.eval_cnt, n_devices=args.n_devices,
+        grid_lr_mult=args.grid_lr_mult,
     )
     sam = SamTrainConfig(
         online_resolution=args.online_resolution, cache_size=args.cache_size,

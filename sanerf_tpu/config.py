@@ -163,6 +163,11 @@ class TrainConfig:
     lr_warmup_steps: int = 0  # linear warmup (0 = reference behavior)
     grad_clip: float = 1.0  # global-norm clip (0 disables)
     adam_eps: float = 1e-15  # main.py:296
+    # lr multiplier for factorized-grid tables (CP lines / VM planes):
+    # TensoRF's grid-vs-net split; measured +1.1 dB on the CP
+    # import-distillation student. 1.0 = single lr (hash grids always
+    # train at the single reference lr regardless).
+    grid_lr_mult: float = 10.0
     ema_decay: float = 0.95  # main.py:316
     # ray-batch budget: num_rays adaptively scaled so that final-level points
     # ~= num_points (main.py:92-97, utils.py:932-935). TPU build uses a fixed

@@ -142,3 +142,34 @@ def test_vm_model_excluded_from_fused_fast_path():
     b = renderer.run_rays(model_slow, params, o, d)
     np.testing.assert_allclose(np.asarray(a["image"]),
                                np.asarray(b["image"]), atol=1e-5)
+
+
+def test_grid_lr_mult_scales_table_updates_only():
+    """grid_lr_mult multiplies the post-Adam step on CP/VM tables and
+    leaves MLP updates untouched."""
+    from sanerf_tpu.train import state as state_lib
+
+    rc = RenderConfig(num_steps=(8, 4), bound=4.0, contract=True)
+    mc = ModelConfig(field_type="mlp", mlp_vm_rank=4, mlp_vm_res=8,
+                     mlp_cp_rank=6, mlp_cp_res=16,
+                     mlp_enc_freqs=4, mlp_field_width=32, mlp_field_depth=4,
+                     mlp_prop_enc_freqs=3, mlp_prop_width=16,
+                     mlp_prop_depth=2, prop_resolutions=(16,))
+    model = fields.make_model(mc, rc)
+    params = fields.init_params(model, jax.random.key(0))
+    grads = jax.tree.map(jnp.ones_like, params)
+
+    def step_sizes(mult):
+        tc = TrainConfig(iters=100, grad_clip=0.0, grid_lr_mult=mult,
+                         use_native_loader=False)
+        tx = state_lib.make_optimizer(tc)
+        upd, _ = tx.update(grads, tx.init(params), params)
+        return upd
+
+    u1, u10 = step_sizes(1.0), step_sizes(10.0)
+    for k in ("cp_lines", "vm_planes", "vm_lines"):
+        np.testing.assert_allclose(np.asarray(u10[k]),
+                                   10.0 * np.asarray(u1[k]), rtol=1e-6)
+    mlp1 = np.asarray(u1["grid_mlp"][0]["w"])
+    mlp10 = np.asarray(u10["grid_mlp"][0]["w"])
+    np.testing.assert_allclose(mlp10, mlp1, rtol=1e-7)

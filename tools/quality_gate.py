@@ -57,7 +57,7 @@ def run_family(field_type: str, args, mlp_width: int | None = None) -> dict:
                                  mlp_vm_res=args.vm_res)
     tc = TrainConfig(iters=args.iters, num_rays=args.num_rays,
                      adaptive_num_rays=False, lambda_distort=args.distort,
-                     lambda_tv=args.tv,
+                     lambda_tv=args.tv, grid_lr_mult=args.grid_lr_mult,
                      lr=args.lr, eval_cnt=1, save_cnt=1,
                      use_native_loader=not args.no_native)
     cfg = Config(workspace=f"{args.workspace}/{field_type}"
@@ -117,6 +117,8 @@ def main(argv=None):
                     help="VM plane-grid per-mode rank for the mlp family "
                          "(0 = off)")
     ap.add_argument("--vm_res", type=int, default=64)
+    ap.add_argument("--grid_lr_mult", type=float, default=10.0,
+                    help="lr multiplier for CP/VM grid tables")
     ap.add_argument("--tv", type=float, default=0.0,
                     help="lambda_tv (reaches CP lines for the mlp family)")
     ap.add_argument("--workspace", default="/tmp/quality_gate")
