@@ -140,6 +140,8 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--cp_rank", type=int, default=0,
                    help="CP line-grid rank for the mlp family (0 = off)")
     p.add_argument("--cp_res", type=int, default=256)
+    p.add_argument("--cp_levels", type=int, default=1,
+                   help="multi-res CP ladder levels (rank splits across)")
     p.add_argument("--vm_rank", type=int, default=0,
                    help="TensoRF-VM plane-grid per-mode rank for the mlp"
                         " family (0 = off)")
@@ -177,6 +179,7 @@ def config_from_args(args) -> Config:
         import dataclasses as _dc
         model = _dc.replace(model, mlp_cp_rank=args.cp_rank,
                             mlp_cp_res=args.cp_res,
+                            mlp_cp_levels=args.cp_levels,
                             mlp_vm_rank=args.vm_rank,
                             mlp_vm_res=args.vm_res)
     # the MLP field family trains best with a gentler schedule than the

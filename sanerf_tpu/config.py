@@ -98,6 +98,11 @@ class ModelConfig:
     # otherwise cp_rank > 0 renders through the XLA path.
     mlp_cp_rank: int = 0
     mlp_cp_res: int = 256
+    # >1 splits the CP rank over a coarse-to-fine resolution ladder ending
+    # at mlp_cp_res (the hash grid's multiresolution structure applied to
+    # lines; total feature count stays mlp_cp_rank). Requires
+    # mlp_cp_rank % mlp_cp_levels == 0.
+    mlp_cp_levels: int = 1
     # VM (vector-matrix) factorized grid (0 = off): TensoRF's plane+line
     # mode as one-hot MXU matmuls + a VPU reduction (ops/vmgrid.py) —
     # denser capacity than CP lines for non-axis-aligned detail. Adds

@@ -343,8 +343,11 @@ def init_params(model: NerfModel, key: jax.Array) -> Params:
             ],
         }
         if c.mlp_cp_rank > 0:
-            params["cp_lines"] = cpgrid.init_lines(
-                next(keys), c.mlp_cp_res, c.mlp_cp_rank)
+            params["cp_lines"] = (
+                cpgrid.init_lines(next(keys), c.mlp_cp_res, c.mlp_cp_rank)
+                if c.mlp_cp_levels == 1 else
+                cpgrid.init_lines_multi(next(keys), c.mlp_cp_res,
+                                        c.mlp_cp_rank, c.mlp_cp_levels))
         if c.mlp_vm_rank > 0:
             params["vm_planes"], params["vm_lines"] = vmgrid.init_vm(
                 next(keys), c.mlp_vm_res, c.mlp_vm_rank)
@@ -470,7 +473,10 @@ def position_features(model: NerfModel, params: Params, x: jax.Array,
     h = freq_encode(x * (jnp.pi / model.bound), model.cfg.mlp_enc_freqs,
                     out_dtype=dtype)
     if model.cfg.mlp_cp_rank > 0:
-        cp = cpgrid.line_features(params["cp_lines"], x, model.bound)
+        cl = params["cp_lines"]
+        cp = (cpgrid.line_features_multi(cl, x, model.bound)
+              if isinstance(cl, (list, tuple)) else
+              cpgrid.line_features(cl, x, model.bound))
         h = jnp.concatenate([h, cp.astype(h.dtype)], axis=-1)
     if model.cfg.mlp_vm_rank > 0:
         vm = vmgrid.vm_features(params["vm_planes"], params["vm_lines"],
@@ -644,8 +650,11 @@ def apply_total_variation(
         if c.mlp_cp_rank > 0 and "cp_lines" in params:
             # 1-D TV on the CP lines (TensoRF's regularizer; controls the
             # view-dependent floaters factorized grids otherwise grow)
-            g["cp_lines"] = cpgrid.grad_total_variation(
-                params["cp_lines"], weight)
+            cl = params["cp_lines"]
+            g["cp_lines"] = (
+                [cpgrid.grad_total_variation(l, weight) for l in cl]
+                if isinstance(cl, (list, tuple)) else
+                cpgrid.grad_total_variation(cl, weight))
         if c.mlp_vm_rank > 0 and "vm_planes" in params:
             g["vm_planes"] = vmgrid.grad_total_variation_planes(
                 params["vm_planes"], weight)

@@ -55,7 +55,7 @@ _LOGIT_CLIP = 30.0  # pre-activation guard against exp overflow
 
 
 def student_config(teacher_cfg: ModelConfig, cp_rank: int = 0,
-                   cp_res: int = 256, vm_rank: int = 0,
+                   cp_res: int = 256, cp_levels: int = 1, vm_rank: int = 0,
                    vm_res: int = 64) -> ModelConfig:
     """The MLP-family twin of a hash-grid config: same heads, same feature
     dims, field_type flipped. `cp_rank > 0` gives the student a
@@ -71,6 +71,7 @@ def student_config(teacher_cfg: ModelConfig, cp_rank: int = 0,
         field_type="mlp",
         mlp_cp_rank=cp_rank,
         mlp_cp_res=cp_res,
+        mlp_cp_levels=cp_levels,
         mlp_vm_rank=vm_rank,
         mlp_vm_res=vm_res,
         mlp_sam_feat_dim=(teacher_cfg.s_grid_num_levels
@@ -255,8 +256,11 @@ def distill_to_mlp(
     # CP student at 4k distill iters, 12.5 -> 13.6 dB)
     def label(tree):
         grid_keys = ("cp_lines", "vm_planes", "vm_lines")
-        return {k: ("lines" if k in grid_keys else "rest")
-                for k in tree}
+        # expand to full param structure (multi-res cp_lines is a LIST of
+        # tables; multi_transform labels must mirror the leaves)
+        return {k: jax.tree.map(
+            lambda _, lab="lines" if k in grid_keys else "rest": lab, v)
+            for k, v in tree.items()}
 
     tx = optax.chain(
         optax.clip_by_global_norm(1.0),

@@ -40,6 +40,24 @@ def init_lines(key: jax.Array, res: int, rank: int,
     return scale * jax.random.normal(key, (3, res, rank), jnp.float32)
 
 
+def level_resolutions(res: int, levels: int, min_res: int = 16):
+    """Coarse-to-fine geometric ladder ending at `res` (the hash grid's
+    multiresolution structure, gridencoder.cu:82-110, applied to lines):
+    levels=4, res=512 -> (64, 128, 256, 512)."""
+    return tuple(max(min_res, res >> (levels - 1 - i)) for i in range(levels))
+
+
+def init_lines_multi(key: jax.Array, res: int, rank: int, levels: int,
+                     scale: float = 0.2):
+    """List of per-level [3, R_i, K/levels] tables (coarse -> fine). The
+    total feature count stays `rank` so a multi-res swap is capacity-
+    comparable with a single-level grid of the same rank."""
+    assert rank % levels == 0, (rank, levels)
+    keys = jax.random.split(key, levels)
+    return [init_lines(k, r, rank // levels, scale)
+            for k, r in zip(keys, level_resolutions(res, levels))]
+
+
 def line_features(lines: jax.Array, x: jax.Array, bound: float) -> jax.Array:
     """CP feature reconstruction at points x.
 
@@ -80,6 +98,12 @@ def line_features_ref(lines: jax.Array, x: jax.Array,
         fa = v0 * (1.0 - f[:, a : a + 1]) + v1 * f[:, a : a + 1]
         feat = fa if feat is None else feat * fa
     return feat
+
+
+def line_features_multi(lines_list, x: jax.Array, bound: float) -> jax.Array:
+    """Concatenated per-level CP features (coarse -> fine), [N, sum K_i]."""
+    return jnp.concatenate(
+        [line_features(l, x, bound) for l in lines_list], axis=-1)
 
 
 def grad_total_variation(lines: jax.Array, weight: float) -> jax.Array:

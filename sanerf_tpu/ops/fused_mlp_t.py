@@ -116,12 +116,29 @@ def extend_row_map_cp(row_map, n_cp: int):
     return tuple(ext)
 
 
-def _cp_block(xT, cp_ref, cp_info, f32_dots: bool):
-    """In-kernel CP line features, transposed layout: [Kp, B] block to
-    append to the encoding (ops/cpgrid.py math — 1-D interpolation as a
-    2-nonzero one-hot [R, B] built from an iota compare, contracted with
-    the resident [K, R] line table on the MXU)."""
-    R, K, Kp, s, o = cp_info
+def _prep_cp(cp_lines, row_map, bound: float, dtype):
+    """Normalize single-/multi-level CP tables into kernel operands:
+    ([3, K_i, R_i] transposed tables...), ((R, K, scale, offset)...,
+    padded total rows), extended row map."""
+    levels = (list(cp_lines) if isinstance(cp_lines, (list, tuple))
+              else [cp_lines])
+    k_total = sum(int(l.shape[2]) for l in levels)
+    base_rows = len(row_map)
+    row_map = extend_row_map_cp(row_map, k_total)
+    cpT = [jnp.swapaxes(l, 1, 2).astype(dtype) for l in levels]
+    infos = tuple(
+        (int(l.shape[1]), int(l.shape[2]),
+         (int(l.shape[1]) - 1) / (2.0 * bound), (int(l.shape[1]) - 1) / 2.0)
+        for l in levels)
+    return cpT, (infos, len(row_map) - base_rows), row_map
+
+
+def _cp_level(xT, cp_ref, level_info, f32_dots: bool):
+    """In-kernel CP line features for ONE resolution level, transposed
+    layout: tight [K, B] block (ops/cpgrid.py math — 1-D interpolation as
+    a 2-nonzero one-hot [R, B] built from an iota compare, contracted
+    with the resident [K, R] line table on the MXU)."""
+    R, K, s, o = level_info
     B = xT.shape[1]
     u = jnp.clip(xT[:3] * s + o, 0.0, R - 1.0)  # [3, B] grid coords
     i0f = jnp.floor(u)
@@ -143,10 +160,21 @@ def _cp_block(xT, cp_ref, cp_info, f32_dots: bool):
             la, W, dimension_numbers=(((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32)  # [K, B]
         feat = fa_feat if feat is None else feat * fa_feat
-    if Kp > K:
-        feat = jnp.concatenate(
-            [feat, jnp.zeros((Kp - K, B), feat.dtype)], axis=0)
     return feat
+
+
+def _cp_block(xT, cp_refs, cp_info, f32_dots: bool):
+    """Concatenated per-level CP features [Kp, B]: one `_cp_level` per
+    resolution (coarse -> fine), zero-padded to the 8-aligned row count
+    the extended row map reserved."""
+    levels, Kp = cp_info
+    B = xT.shape[1]
+    feats = [_cp_level(xT, r, li, f32_dots)
+             for r, li in zip(cp_refs, levels)]
+    K = sum(li[1] for li in levels)
+    if Kp > K:
+        feats.append(jnp.zeros((Kp - K, B), feats[0].dtype))
+    return feats[0] if len(feats) == 1 else jnp.concatenate(feats, axis=0)
 
 
 def pack_tmlp(layers, enc_pad: int, skip_layers: Sequence[int] = (),
@@ -287,12 +315,7 @@ def run_tmlp(x, layers, enc_freqs: int, bound: float,
             enc_freqs, float(np.pi / bound))
         cpT = cp_info = None
         if cp_lines is not None:
-            R_, K_ = cp_lines.shape[1], cp_lines.shape[2]
-            base_rows = len(row_map)
-            row_map = extend_row_map_cp(row_map, K_)
-            cpT = jnp.swapaxes(cp_lines, 1, 2).astype(dtype)  # [3, K, R]
-            cp_info = (R_, K_, len(row_map) - base_rows,
-                       (R_ - 1) / (2.0 * bound), (R_ - 1) / 2.0)
+            cpT, cp_info, row_map = _prep_cp(cp_lines, row_map, bound, dtype)
         wstack, bias, dims = pack_tmlp_traced(
             layers, len(row_map), skip_layers, dtype, enc_row_map=row_map)
         out_rows = _round_up(dims[-1][2], 8)
@@ -395,14 +418,15 @@ def _tmlp_kernel(dims: Tuple[Tuple[int, int, int], ...], leaky: bool,
         if has_bias:
             b_ref = rest[pos]
             pos += 1
-        cp_ref = None
+        cp_refs = None
         if cp_info is not None:
-            cp_ref = rest[pos]
-            pos += 1
+            n_cp = len(cp_info[0])
+            cp_refs = rest[pos : pos + n_cp]
+            pos += n_cp
         out_ref = rest[-1]
         xT = xT_ref[:].astype(jnp.float32)  # [8 or 3, B]
         cp = (None if cp_info is None
-              else _cp_block(xT, cp_ref, cp_info, f32_dots))
+              else _cp_block(xT, cp_refs, cp_info, f32_dots))
         acc = _encode_and_chain(dims, leaky, has_bias, ad_freqs, xT, w_ref,
                                 projT_ref, phase_ref, lmask_ref, b_ref,
                                 f32_dots=f32_dots, cp=cp)
@@ -498,17 +522,18 @@ def _tmlp_composite_kernel(dims, leaky: bool, has_bias: bool, T: int,
         if has_bias:
             b_ref = rest[pos]
             pos += 1
-        cp_ref = None
+        cp_refs = None
         if cp_info is not None:
-            cp_ref = rest[pos]
-            pos += 1
+            n_cp = len(cp_info[0])
+            cp_refs = rest[pos : pos + n_cp]
+            pos += n_cp
         if view is not None:
             rays_ref, vgeo_ref, vsh_ref, vrest_ref = rest[pos : pos + 4]
             pos += 4
         gsum_ref, aux_ref = rest[-2], rest[-1]
         xT = xT_ref[:].astype(jnp.float32)  # [3 or 8, B]
         cp = (None if cp_info is None
-              else _cp_block(xT, cp_ref, cp_info, f32_dots))
+              else _cp_block(xT, cp_refs, cp_info, f32_dots))
         acc = _encode_and_chain(dims, leaky, has_bias, ad_freqs, xT, w_ref,
                                 projT_ref, phase_ref, lmask_ref, b_ref,
                                 f32_dots, last_bt=True, cp=cp)  # [B, kout]
@@ -641,9 +666,10 @@ def _run_tmlp_composite(xT, dl, ts, wstack, bias, projT, phase, lmask, dims,
                                      memory_space=pltpu.VMEM))
         args.append(bias)
     if cp_info is not None:
-        in_specs.append(pl.BlockSpec(cpT.shape, lambda i: (0, 0, 0),
-                                     memory_space=pltpu.VMEM))
-        args.append(cpT)
+        for t in cpT:
+            in_specs.append(pl.BlockSpec(t.shape, lambda i: (0, 0, 0),
+                                         memory_space=pltpu.VMEM))
+            args.append(t)
     if view is not None:
         in_specs += [
             pl.BlockSpec((R, rays8.shape[1]), lambda i: (i, 0),
@@ -719,12 +745,7 @@ def run_tmlp_composite(xT, dl, ts, layers, enc_freqs: int, bound: float,
             enc_freqs, float(np.pi / bound))
         cpT = cp_info = None
         if cp_lines is not None:
-            R_, K_ = cp_lines.shape[1], cp_lines.shape[2]
-            base_rows = len(row_map)
-            row_map = extend_row_map_cp(row_map, K_)
-            cpT = jnp.swapaxes(cp_lines, 1, 2).astype(dtype)  # [3, K, R]
-            cp_info = (R_, K_, len(row_map) - base_rows,
-                       (R_ - 1) / (2.0 * bound), (R_ - 1) / 2.0)
+            cpT, cp_info, row_map = _prep_cp(cp_lines, row_map, bound, dtype)
         wstack, bias, dims = pack_tmlp_traced(
             layers, len(row_map), skip_layers, dtype, enc_row_map=row_map)
         lmask = jnp.zeros((1, 1), jnp.float32)  # unused on this path
@@ -778,9 +799,10 @@ def _run_tmlp(xT, wstack, bias, projT, phase, lmask, dims, leaky,
                                      memory_space=pltpu.VMEM))
         args.append(bias)
     if cp_info is not None:
-        in_specs.append(pl.BlockSpec(cpT.shape, lambda i: (0, 0, 0),
-                                     memory_space=pltpu.VMEM))
-        args.append(cpT)
+        for t in cpT:
+            in_specs.append(pl.BlockSpec(t.shape, lambda i: (0, 0, 0),
+                                         memory_space=pltpu.VMEM))
+            args.append(t)
     out = pl.pallas_call(
         kern,
         grid=(Np // block,),

@@ -119,11 +119,13 @@ def _apply_regularizer_grads(
         x01 = jax.random.uniform(key, (4096, 3))
         contrib = fields.apply_total_variation(model, params, x01, cfg.lambda_tv)
         for k, g in contrib.items():
-            grads[k] = grads[k] + g
+            # tree-map, not `+`: multi-res cp_lines is a LIST of tables
+            # (python `+` would concatenate)
+            grads[k] = jax.tree.map(jnp.add, grads[k], g)
     if cfg.lambda_wd > 0:
         contrib = fields.apply_weight_decay(model, params, cfg.lambda_wd)
         for k, g in contrib.items():
-            grads[k] = grads[k] + g
+            grads[k] = jax.tree.map(jnp.add, grads[k], g)
     return grads
 
 

@@ -140,3 +140,74 @@ def test_cp_fused_fast_path_matches_xla_path():
     np.testing.assert_allclose(np.asarray(fast["depth"]),
                                np.asarray(slow["depth"]),
                                rtol=2e-3, atol=2e-3)
+
+
+def test_multires_lines_match_per_level_oracle():
+    lines = cpgrid.init_lines_multi(jax.random.key(9), res=32, rank=8,
+                                    levels=2)
+    assert [l.shape for l in lines] == [(3, 16, 4), (3, 32, 4)]
+    x = jax.random.uniform(jax.random.key(10), (256, 3), minval=-2.0,
+                           maxval=2.0)
+    got = cpgrid.line_features_multi(lines, x, bound=2.0)
+    want = jnp.concatenate(
+        [cpgrid.line_features_ref(l, x, 2.0) for l in lines], axis=-1)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=1e-5, atol=1e-6)
+
+
+def test_multires_cp_field_train_and_tv():
+    rc = RenderConfig(num_steps=(8, 4), bound=4.0, contract=True)
+    mc = ModelConfig(field_type="mlp", mlp_cp_rank=8, mlp_cp_res=32,
+                     mlp_cp_levels=2,
+                     mlp_enc_freqs=4, mlp_field_width=32, mlp_field_depth=4,
+                     mlp_prop_enc_freqs=3, mlp_prop_width=16,
+                     mlp_prop_depth=2, prop_resolutions=(16,))
+    model = fields.make_model(mc, rc)
+    assert model.grid_out_dim == (3 * (1 + 2 * 4)) + 8
+    params = fields.init_params(model, jax.random.key(0))
+    assert isinstance(params["cp_lines"], list)
+
+    o = jnp.zeros((64, 3)) + jnp.array([0.0, 0.0, 2.0])
+    d = jnp.tile(jnp.array([[0.0, 0.0, -1.0]]), (64, 1))
+    out = renderer.run_rays(model, params, o, d)
+    assert np.isfinite(np.asarray(out["image"])).all()
+
+    contrib = fields.apply_total_variation(model, params,
+                                           jnp.zeros((8, 3)), 0.5)
+    assert [g.shape for g in contrib["cp_lines"]] == \
+        [l.shape for l in params["cp_lines"]]
+
+    from sanerf_tpu.train import state as state_lib
+    tc = TrainConfig(iters=10, num_rays=64, adaptive_num_rays=False,
+                     lambda_tv=1e-3, use_native_loader=False)
+    state = state_lib.create_train_state(model, tc, jax.random.key(1),
+                                         params=params)
+    step = state_lib.make_rgb_train_step(model, tc)
+    batch = {"rays_o": o, "rays_d": d, "images": jnp.zeros((64, 3)) + 0.5}
+    state2, aux = step(state, batch, jax.random.key(2))
+    assert np.isfinite(float(aux["loss"]))
+    for i, (new, old) in enumerate(zip(state2.params["cp_lines"],
+                                       params["cp_lines"])):
+        assert float(jnp.abs(new - old).max()) > 0.0, i
+
+
+def test_multires_cp_fused_matches_xla_path():
+    """cp_fused with a 2-level CP ladder (interpret mode on CPU) == the
+    XLA path."""
+    rc = RenderConfig(num_steps=(8, 4), bound=4.0, contract=True,
+                      cp_fused=True)
+    rc_slow = dataclasses.replace(rc, use_fused_mlp=False)
+    mc = ModelConfig(field_type="mlp", mlp_cp_rank=8, mlp_cp_res=32,
+                     mlp_cp_levels=2,
+                     mlp_enc_freqs=4, mlp_field_width=32, mlp_field_depth=4,
+                     mlp_prop_enc_freqs=3, mlp_prop_width=16,
+                     mlp_prop_depth=2, prop_resolutions=(16,))
+    model_f = fields.make_model(mc, rc)
+    model_s = fields.make_model(mc, rc_slow)
+    params = fields.init_params(model_f, jax.random.key(0))
+    o = jnp.zeros((32, 3)) + jnp.array([0.0, 0.0, 2.0])
+    d = jnp.tile(jnp.array([[0.0, 0.0, -1.0]]), (32, 1))
+    a = renderer.run_rays(model_f, params, o, d)
+    b = renderer.run_rays(model_s, params, o, d)
+    np.testing.assert_allclose(np.asarray(a["image"]),
+                               np.asarray(b["image"]), atol=2e-3)

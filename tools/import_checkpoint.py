@@ -52,6 +52,7 @@ def main(argv=None):
                     help="give the student a CP line grid of this rank "
                          "(more fitting capacity; XLA-path rendering)")
     ap.add_argument("--cp_res", type=int, default=256)
+    ap.add_argument("--cp_levels", type=int, default=1)
     ap.add_argument("--vm_rank", type=int, default=0,
                     help="give the student a TensoRF-VM plane grid of "
                          "this per-mode rank (XLA-path rendering)")
@@ -93,6 +94,7 @@ def main(argv=None):
     if args.cp_rank or args.vm_rank:
         student = fields.make_model(import_distill.student_config(
             tc, cp_rank=args.cp_rank, cp_res=args.cp_res,
+            cp_levels=args.cp_levels,
             vm_rank=args.vm_rank, vm_res=args.vm_res), rc)
     student_model, sparams, report = import_distill.distill_to_mlp(
         teacher, tparams, key=jax.random.key(0),

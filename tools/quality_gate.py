@@ -51,7 +51,8 @@ def run_family(field_type: str, args, mlp_width: int | None = None) -> dict:
         mc = dataclasses.replace(mc, mlp_field_width=mlp_width)
     if field_type == "mlp" and args.cp_rank:
         mc = dataclasses.replace(mc, mlp_cp_rank=args.cp_rank,
-                                 mlp_cp_res=args.cp_res)
+                                 mlp_cp_res=args.cp_res,
+                                 mlp_cp_levels=args.cp_levels)
     if field_type == "mlp" and args.vm_rank:
         mc = dataclasses.replace(mc, mlp_vm_rank=args.vm_rank,
                                  mlp_vm_res=args.vm_res)
@@ -113,6 +114,8 @@ def main(argv=None):
     ap.add_argument("--cp_rank", type=int, default=0,
                     help="CP line-grid rank for the mlp family (0 = off)")
     ap.add_argument("--cp_res", type=int, default=256)
+    ap.add_argument("--cp_levels", type=int, default=1,
+                    help="multi-res CP ladder levels (rank splits across)")
     ap.add_argument("--vm_rank", type=int, default=0,
                     help="VM plane-grid per-mode rank for the mlp family "
                          "(0 = off)")
