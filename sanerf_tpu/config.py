@@ -37,10 +37,12 @@ class RenderConfig:
     # inference-only: run the MLP-family field/prop chains as transposed
     # fused Pallas kernels (ops/fused_mlp_t.py) — activations stay in VMEM
     use_fused_mlp: bool = True
-    # let cp-augmented models (ModelConfig.mlp_cp_rank > 0) use the fused
-    # kernels' in-kernel CP dot. Interpret-mode parity is proven
-    # (tests/test_fused_mlp_t.py); default off until the kernels get a
-    # hardware Mosaic compile check (TPU-relay outage blocked it)
+    # let grid-augmented models (ModelConfig.mlp_cp_rank / mlp_vm_rank > 0)
+    # compute their CP line / VM plane features INSIDE the fused kernels
+    # (one-hot MXU contractions; _cp_block/_vm_block in ops/fused_mlp_t.py).
+    # Interpret-mode parity is proven (tests/test_cpgrid.py,
+    # tests/test_vmgrid.py); default off until the kernels get a hardware
+    # Mosaic compile check (TPU-relay outage blocked it)
     cp_fused: bool = False
 
     @property

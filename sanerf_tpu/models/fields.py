@@ -559,6 +559,7 @@ def field_forward_T(model: NerfModel, params: Params, x, transposed: bool):
         x, params["grid_mlp"], model.cfg.mlp_enc_freqs, model.bound,
         (model.cfg.mlp_field_depth // 2,), leaky=True, block=4096,
         transposed=transposed, cp_lines=params.get("cp_lines"),
+        vm_planes=params.get("vm_planes"), vm_lines=params.get("vm_lines"),
     )
 
 
@@ -579,6 +580,7 @@ def field_composite_T(model: NerfModel, params: Params, xT, dl, ts,
         view_layers=params["view_mlp"] if with_view else None,
         sh_degree=model.cfg.sh_degree,
         cp_lines=params.get("cp_lines"),
+        vm_planes=params.get("vm_planes"), vm_lines=params.get("vm_lines"),
     )
 
 

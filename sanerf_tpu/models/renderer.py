@@ -106,7 +106,7 @@ def run_rays(
     fast = (model.is_mlp_field and not training and not save_inter
             and cfg.use_fused_mlp
             and (mc.mlp_cp_rank == 0 or cfg.cp_fused)
-            and mc.mlp_vm_rank == 0)  # VM planes render via the XLA path
+            and (mc.mlp_vm_rank == 0 or cfg.cp_fused))
     fast_comp = fast and not mc.sum_after_mlp and not return_mask
     # pure-RGB frames additionally fuse the final-level composite into the
     # field kernel's epilogue (fields.field_composite_T)

@@ -116,21 +116,49 @@ def extend_row_map_cp(row_map, n_cp: int):
     return tuple(ext)
 
 
-def _prep_cp(cp_lines, row_map, bound: float, dtype):
-    """Normalize single-/multi-level CP tables into kernel operands:
-    ([3, K_i, R_i] transposed tables...), ((R, K, scale, offset)...,
-    padded total rows), extended row map."""
-    levels = (list(cp_lines) if isinstance(cp_lines, (list, tuple))
-              else [cp_lines])
-    k_total = sum(int(l.shape[2]) for l in levels)
+def _scale_off(R: int, bound: float):
+    """[-bound, bound] -> [0, R-1] grid-coordinate affine."""
+    return (R - 1) / (2.0 * bound), (R - 1) / 2.0
+
+
+def _prep_grids(cp_lines, vm_planes, vm_lines, row_map, bound: float, dtype):
+    """Normalize the factorized-grid tables into kernel operands.
+
+    Returns (operand arrays, grid_info, extended row map) where grid_info
+    = (cp level infos (R, K, scale, offset)..., vm_info or None, padded
+    total rows). Operands: per-CP-level [3, K_i, R_i] transposed tables,
+    then — when VM is on — [3, K, R, R] mode-major planes (axis order
+    [m, k, row-axis (m+1)%3, col-axis (m+2)%3]) and [3, K, Rl] lines.
+    The appended feature rows follow position_features' concat order:
+    [freq, cp levels..., vm modes...]."""
+    ops = []
+    cp_infos = ()
+    k_total = 0
+    if cp_lines is not None:
+        levels = (list(cp_lines) if isinstance(cp_lines, (list, tuple))
+                  else [cp_lines])
+        k_total += sum(int(l.shape[2]) for l in levels)
+        ops += [jnp.swapaxes(l, 1, 2).astype(dtype) for l in levels]
+        cp_infos = tuple(
+            (int(l.shape[1]), int(l.shape[2]), *_scale_off(l.shape[1], bound))
+            for l in levels)
+    vm_info = None
+    if vm_planes is not None:
+        _, R, _, K = vm_planes.shape
+        Rl = vm_lines.shape[1]
+        k_total += 3 * K
+        ops.append(jnp.transpose(vm_planes, (0, 3, 1, 2)).astype(dtype))
+        ops.append(jnp.swapaxes(vm_lines, 1, 2).astype(dtype))
+        vm_info = (int(R), int(Rl), int(K), *_scale_off(R, bound),
+                   *_scale_off(Rl, bound))
     base_rows = len(row_map)
     row_map = extend_row_map_cp(row_map, k_total)
-    cpT = [jnp.swapaxes(l, 1, 2).astype(dtype) for l in levels]
-    infos = tuple(
-        (int(l.shape[1]), int(l.shape[2]),
-         (int(l.shape[1]) - 1) / (2.0 * bound), (int(l.shape[1]) - 1) / 2.0)
-        for l in levels)
-    return cpT, (infos, len(row_map) - base_rows), row_map
+    return ops, (cp_infos, vm_info, len(row_map) - base_rows), row_map
+
+
+def _prep_cp(cp_lines, row_map, bound: float, dtype):
+    """Back-compat wrapper: CP-only grid prep."""
+    return _prep_grids(cp_lines, None, None, row_map, bound, dtype)
 
 
 def _cp_level(xT, cp_ref, level_info, f32_dots: bool):
@@ -163,15 +191,75 @@ def _cp_level(xT, cp_ref, level_info, f32_dots: bool):
     return feat
 
 
-def _cp_block(xT, cp_refs, cp_info, f32_dots: bool):
-    """Concatenated per-level CP features [Kp, B]: one `_cp_level` per
-    resolution (coarse -> fine), zero-padded to the 8-aligned row count
-    the extended row map reserved."""
-    levels, Kp = cp_info
+def _vm_block(xT, p_ref, l_ref, vm_info, f32_dots: bool):
+    """In-kernel VM plane+line features, transposed layout: tight [3K, B].
+
+    Per mode m the bilinear plane sample is two contractions (see
+    ops/vmgrid.py): an [R, R] plane slab against the col-axis one-hot
+    [R, B] on the MXU, then a sublane-masked reduction against the
+    row-axis one-hot on the VPU — per output feature k, so the [R, B]
+    intermediate lives one k at a time in VMEM instead of an [R*K, B]
+    slab. Line features ride the CP machinery (one [K, Rl] @ [Rl, B]
+    dot per mode)."""
+    R, Rl, K, s, o, sl, ol = vm_info
+    B = xT.shape[1]
+
+    def onehots(scale, off, res):
+        u = jnp.clip(xT[:3] * scale + off, 0.0, res - 1.0)  # [3, B]
+        i0f = jnp.floor(u)
+        frac = u - i0f
+        i0 = i0f.astype(jnp.int32)
+        iota = jax.lax.broadcasted_iota(jnp.int32, (res, B), 0)
+        return [
+            (jnp.where(iota == i0[a : a + 1], 1.0 - frac[a : a + 1], 0.0)
+             + jnp.where(iota == i0[a : a + 1] + 1, frac[a : a + 1], 0.0))
+            for a in range(3)]
+
+    Wp = onehots(s, o, R)
+    Wl = onehots(sl, ol, Rl)
+    feats = []
+    for m in range(3):
+        a, b = (m + 1) % 3, (m + 2) % 3
+        lm = l_ref[m]  # [K, Rl]
+        Wlm = Wl[m]
+        Wa, Wb = Wp[a], Wp[b]
+        if f32_dots:
+            lm = lm.astype(jnp.float32)
+        else:
+            Wlm = Wlm.astype(lm.dtype)
+            Wa = Wa.astype(lm.dtype)
+            Wb = Wb.astype(lm.dtype)
+        lf = jax.lax.dot_general(
+            lm, Wlm, dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)  # [K, B]
+        rows = []
+        for k in range(K):
+            P = p_ref[m, k]  # [R, R]: rows = axis a, cols = axis b
+            if f32_dots:
+                P = P.astype(jnp.float32)
+            Z = jax.lax.dot_general(
+                P, Wb, dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)  # [R, B]
+            rows.append(jnp.sum(Wa.astype(jnp.float32) * Z, axis=0,
+                                keepdims=True))  # [1, B]
+        pf = rows[0] if K == 1 else jnp.concatenate(rows, axis=0)  # [K, B]
+        feats.append(pf * lf)
+    return feats[0] if len(feats) == 1 else jnp.concatenate(feats, axis=0)
+
+
+def _cp_block(xT, refs, grid_info, f32_dots: bool):
+    """Concatenated factorized-grid features [Kp, B]: one `_cp_level` per
+    CP resolution (coarse -> fine), then the VM modes, zero-padded to the
+    8-aligned row count the extended row map reserved."""
+    cp_infos, vm_info, Kp = grid_info
     B = xT.shape[1]
     feats = [_cp_level(xT, r, li, f32_dots)
-             for r, li in zip(cp_refs, levels)]
-    K = sum(li[1] for li in levels)
+             for r, li in zip(refs, cp_infos)]
+    K = sum(li[1] for li in cp_infos)
+    if vm_info is not None:
+        feats.append(_vm_block(xT, refs[len(cp_infos)],
+                               refs[len(cp_infos) + 1], vm_info, f32_dots))
+        K += 3 * vm_info[2]
     if Kp > K:
         feats.append(jnp.zeros((Kp - K, B), feats[0].dtype))
     return feats[0] if len(feats) == 1 else jnp.concatenate(feats, axis=0)
@@ -293,7 +381,7 @@ def run_tmlp(x, layers, enc_freqs: int, bound: float,
              skip_layers: Sequence[int] = (), leaky: bool = False,
              block: int = 2048, interpret: Optional[bool] = None,
              transposed: bool = False, angle_double: bool = True,
-             cp_lines=None) -> jax.Array:
+             cp_lines=None, vm_planes=None, vm_lines=None) -> jax.Array:
     """One-shot traceable entry: x [N, 3] (or [3, N] with `transposed`) ->
     [out_pad, N] f32 transposed outputs. Packs in-trace (pack_tmlp_traced);
     usable inside run_rays. Feeding [3, N] avoids both the XLA transpose
@@ -308,14 +396,15 @@ def run_tmlp(x, layers, enc_freqs: int, bound: float,
         dtype = jnp.float32
     if interpret is None:
         interpret = jax.default_backend() == "cpu"
-    if cp_lines is not None:
-        assert angle_double, "CP lines require the angle-doubling encode"
+    if cp_lines is not None or vm_planes is not None:
+        assert angle_double, "grid features require the angle-doubling encode"
     if angle_double:
         z0_projT, z0_phase, row_map = make_ad_consts(
             enc_freqs, float(np.pi / bound))
         cpT = cp_info = None
-        if cp_lines is not None:
-            cpT, cp_info, row_map = _prep_cp(cp_lines, row_map, bound, dtype)
+        if cp_lines is not None or vm_planes is not None:
+            cpT, cp_info, row_map = _prep_grids(
+                cp_lines, vm_planes, vm_lines, row_map, bound, dtype)
         wstack, bias, dims = pack_tmlp_traced(
             layers, len(row_map), skip_layers, dtype, enc_row_map=row_map)
         out_rows = _round_up(dims[-1][2], 8)
@@ -420,9 +509,9 @@ def _tmlp_kernel(dims: Tuple[Tuple[int, int, int], ...], leaky: bool,
             pos += 1
         cp_refs = None
         if cp_info is not None:
-            n_cp = len(cp_info[0])
-            cp_refs = rest[pos : pos + n_cp]
-            pos += n_cp
+            n_ops = len(cp_info[0]) + (2 if cp_info[1] is not None else 0)
+            cp_refs = rest[pos : pos + n_ops]
+            pos += n_ops
         out_ref = rest[-1]
         xT = xT_ref[:].astype(jnp.float32)  # [8 or 3, B]
         cp = (None if cp_info is None
@@ -524,9 +613,9 @@ def _tmlp_composite_kernel(dims, leaky: bool, has_bias: bool, T: int,
             pos += 1
         cp_refs = None
         if cp_info is not None:
-            n_cp = len(cp_info[0])
-            cp_refs = rest[pos : pos + n_cp]
-            pos += n_cp
+            n_ops = len(cp_info[0]) + (2 if cp_info[1] is not None else 0)
+            cp_refs = rest[pos : pos + n_ops]
+            pos += n_ops
         if view is not None:
             rays_ref, vgeo_ref, vsh_ref, vrest_ref = rest[pos : pos + 4]
             pos += 4
@@ -667,8 +756,9 @@ def _run_tmlp_composite(xT, dl, ts, wstack, bias, projT, phase, lmask, dims,
         args.append(bias)
     if cp_info is not None:
         for t in cpT:
-            in_specs.append(pl.BlockSpec(t.shape, lambda i: (0, 0, 0),
-                                         memory_space=pltpu.VMEM))
+            in_specs.append(pl.BlockSpec(
+                t.shape, lambda i, nd=t.ndim: (0,) * nd,
+                memory_space=pltpu.VMEM))
             args.append(t)
     if view is not None:
         in_specs += [
@@ -709,7 +799,7 @@ def run_tmlp_composite(xT, dl, ts, layers, enc_freqs: int, bound: float,
                        interpret: Optional[bool] = None,
                        angle_double: bool = True,
                        rays8=None, view_layers=None, sh_degree: int = 4,
-                       cp_lines=None):
+                       cp_lines=None, vm_planes=None, vm_lines=None):
     """Final-level field query + alpha composite as ONE kernel.
 
     xT: [3, N*T] contracted sample coordinates (dims-first, the ray-kernel
@@ -738,14 +828,15 @@ def run_tmlp_composite(xT, dl, ts, layers, enc_freqs: int, bound: float,
         vgeo, vsh, vrest, (_Hv, n_rest, _) = pack_view_weights(
             view_layers, kout_field - 1, sh_dim, kout_field, dtype=dtype)
         view = (n_rest, sh_dim, sh_degree)
-    if cp_lines is not None:
-        assert angle_double, "CP lines require the angle-doubling encode"
+    if cp_lines is not None or vm_planes is not None:
+        assert angle_double, "grid features require the angle-doubling encode"
     if angle_double:
         z0_projT, z0_phase, row_map = make_ad_consts(
             enc_freqs, float(np.pi / bound))
         cpT = cp_info = None
-        if cp_lines is not None:
-            cpT, cp_info, row_map = _prep_cp(cp_lines, row_map, bound, dtype)
+        if cp_lines is not None or vm_planes is not None:
+            cpT, cp_info, row_map = _prep_grids(
+                cp_lines, vm_planes, vm_lines, row_map, bound, dtype)
         wstack, bias, dims = pack_tmlp_traced(
             layers, len(row_map), skip_layers, dtype, enc_row_map=row_map)
         lmask = jnp.zeros((1, 1), jnp.float32)  # unused on this path
@@ -800,8 +891,9 @@ def _run_tmlp(xT, wstack, bias, projT, phase, lmask, dims, leaky,
         args.append(bias)
     if cp_info is not None:
         for t in cpT:
-            in_specs.append(pl.BlockSpec(t.shape, lambda i: (0, 0, 0),
-                                         memory_space=pltpu.VMEM))
+            in_specs.append(pl.BlockSpec(
+                t.shape, lambda i, nd=t.ndim: (0,) * nd,
+                memory_space=pltpu.VMEM))
             args.append(t)
     out = pl.pallas_call(
         kern,

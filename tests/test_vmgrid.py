@@ -173,3 +173,54 @@ def test_grid_lr_mult_scales_table_updates_only():
     mlp1 = np.asarray(u1["grid_mlp"][0]["w"])
     mlp10 = np.asarray(u10["grid_mlp"][0]["w"])
     np.testing.assert_allclose(mlp10, mlp1, rtol=1e-7)
+
+
+def test_vm_fused_fast_path_matches_xla_path():
+    """run_rays with cp_fused=True on a CP+VM model (fused kernels,
+    interpret mode on CPU) == the XLA path: the in-kernel `_vm_block`
+    two-step plane contraction reproduces vmgrid.vm_features."""
+    rc = RenderConfig(num_steps=(8, 4), bound=4.0, contract=True,
+                      cp_fused=True)
+    rc_slow = dataclasses.replace(rc, use_fused_mlp=False)
+    mc = ModelConfig(field_type="mlp", mlp_vm_rank=4, mlp_vm_res=8,
+                     mlp_cp_rank=6, mlp_cp_res=16,
+                     mlp_enc_freqs=4, mlp_field_width=32, mlp_field_depth=4,
+                     mlp_prop_enc_freqs=3, mlp_prop_width=16,
+                     mlp_prop_depth=2, prop_resolutions=(16,))
+    model_f = fields.make_model(mc, rc)
+    model_s = fields.make_model(mc, rc_slow)
+    params = fields.init_params(model_f, jax.random.key(0))
+    o = jnp.zeros((32, 3)) + jnp.array([0.0, 0.0, 2.0])
+    d = jnp.tile(jnp.array([[0.0, 0.0, -1.0]]), (32, 1))
+    a = renderer.run_rays(model_f, params, o, d)
+    b = renderer.run_rays(model_s, params, o, d)
+    np.testing.assert_allclose(np.asarray(a["image"]),
+                               np.asarray(b["image"]), atol=2e-3)
+
+
+def test_vm_block_matches_vm_features_direct():
+    """Direct kernel-block parity: run_tmlp with vm tables (interpret) vs
+    an XLA reference MLP fed [freq, vm] features."""
+    from sanerf_tpu.models.fields import position_features
+    from sanerf_tpu.ops import fused_mlp_t
+
+    rc = RenderConfig(num_steps=(8, 4), bound=4.0, contract=True)
+    mc = ModelConfig(field_type="mlp", mlp_vm_rank=3, mlp_vm_res=8,
+                     mlp_enc_freqs=4, mlp_field_width=32, mlp_field_depth=4,
+                     mlp_prop_enc_freqs=3, mlp_prop_width=16,
+                     mlp_prop_depth=2, prop_resolutions=(16,))
+    model = fields.make_model(mc, rc)
+    params = fields.init_params(model, jax.random.key(3))
+    x = jax.random.uniform(jax.random.key(4), (64, 3), minval=-1.9,
+                           maxval=1.9)
+
+    outT = fused_mlp_t.run_tmlp(
+        x, params["grid_mlp"], mc.mlp_enc_freqs, model.bound,
+        (mc.mlp_field_depth // 2,), leaky=True, block=64,
+        vm_planes=params["vm_planes"], vm_lines=params["vm_lines"])
+
+    h = position_features(model, params, x)
+    ref, _ = fields.apply_skip_mlp(params["grid_mlp"], h,
+                                   (mc.mlp_field_depth // 2,))
+    np.testing.assert_allclose(np.asarray(outT[: ref.shape[1]].T),
+                               np.asarray(ref), rtol=2e-2, atol=2e-3)
