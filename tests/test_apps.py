@@ -432,3 +432,20 @@ def test_headless_viewer_controls(session):
     assert not v.training
     v.stop_training()
     v.save_checkpoint()
+
+
+def test_interactive_session_bench_hierarchy():
+    """Smoke the bench.py primary (32, 24) inference hierarchy through the
+    product loop (tiny model/frame): pipelined + sync frames both finite."""
+    rc = dataclasses.replace(RC, num_steps=(32, 24))
+    model = fields.make_model(MC, rc)
+    params = fields.init_params(model, jax.random.key(0))
+    s = InteractiveSession(Config(render=rc, model=MC), model, params,
+                           _tiny_sam(), H=32, W=32)
+    ds = SyntheticSphereDataset(H=32, W=32, n_views=2)
+    pose = ds.poses[0]
+    intr = s.intrinsics_for(pose)
+    r_pipe = s.step(pose, intr, pipelined=True)
+    r_sync = s.step(pose, intr, pipelined=False)
+    assert np.isfinite(np.asarray(r_sync.rgb)).all()
+    assert r_pipe.rgb.shape == (32, 32, 3)
