@@ -149,6 +149,9 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--grid_lr_mult", type=float, default=10.0,
                    help="lr multiplier for CP/VM grid tables "
                         "(TensoRF's grid-vs-net split)")
+    p.add_argument("--anneal_iters", type=int, default=0,
+                   help="coarse-to-fine encode annealing over this many "
+                        "steps (BARF-style; mlp family only, 0 = off)")
     p.add_argument("--use_wandb", action="store_true")
     p.add_argument("--write_video", action="store_true")
     return p
@@ -196,7 +199,7 @@ def config_from_args(args) -> Config:
         lambda_wd=args.lambda_wd, lambda_proposal=args.lambda_proposal,
         lambda_distort=args.lambda_distort, save_cnt=args.save_cnt,
         eval_cnt=args.eval_cnt, n_devices=args.n_devices,
-        grid_lr_mult=args.grid_lr_mult,
+        grid_lr_mult=args.grid_lr_mult, anneal_iters=args.anneal_iters,
     )
     sam = SamTrainConfig(
         online_resolution=args.online_resolution, cache_size=args.cache_size,

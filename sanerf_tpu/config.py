@@ -191,6 +191,12 @@ class TrainConfig:
     # proposal-update schedule (utils.py:910-911)
     prop_warmup_steps: int = 3000
     prop_update_every: int = 5
+    # coarse-to-fine annealing for the MLP family's encode (BARF,
+    # arXiv:2104.06405): over the first `anneal_iters` steps the PE bands
+    # (and multi-res CP levels) open coarse-to-fine — the classic held-out
+    # floater control for coordinate/grid fields trained from sparse views.
+    # 0 = off (reference behavior; the hashgrid family ignores it).
+    anneal_iters: int = 0
     # prefer the native (C++) prefetching ray sampler for plain RGB batches
     use_native_loader: bool = True
     # data-parallel device count: >1 wraps the canonical train step in

@@ -31,7 +31,7 @@ import jax
 import jax.numpy as jnp
 
 from sanerf_tpu.config import HashGridConfig, ModelConfig, RenderConfig
-from sanerf_tpu.ops import cpgrid, hashgrid, vmgrid
+from sanerf_tpu.ops import cpgrid, freq, hashgrid, vmgrid
 from sanerf_tpu.ops.activation import shifted_softplus, trunc_exp
 from sanerf_tpu.ops.freq import freq_encode, freq_output_dim
 from sanerf_tpu.ops.sh import sh_encode, sh_output_dim
@@ -469,14 +469,28 @@ def position_features(model: NerfModel, params: Params, x: jax.Array,
                       dtype=None) -> jax.Array:
     """The MLP family's positional feature: Fourier bands, plus the
     CP-line features when mlp_cp_rank > 0 (shared by the RGB, SAM and mask
-    field MLPs — grid_out_dim accounts for the concat)."""
+    field MLPs — grid_out_dim accounts for the concat).
+
+    When the training step injects `enc_alpha` (TrainConfig.anneal_iters,
+    a traced scalar in [0, 1] — NOT a trainable leaf), the encode opens
+    coarse-to-fine: PE bands via BARF's cosine window, multi-res CP levels
+    via the same window over levels. At alpha=1 (and on every path that
+    does not inject it, e.g. eval and the fused inference kernels) the
+    output is bit-identical to the un-annealed encode."""
+    alpha = params.get("enc_alpha")
+    bw = (freq.anneal_band_weights(alpha, model.cfg.mlp_enc_freqs)
+          if alpha is not None else None)
     h = freq_encode(x * (jnp.pi / model.bound), model.cfg.mlp_enc_freqs,
-                    out_dtype=dtype)
+                    out_dtype=dtype, band_weights=bw)
     if model.cfg.mlp_cp_rank > 0:
         cl = params["cp_lines"]
-        cp = (cpgrid.line_features_multi(cl, x, model.bound)
-              if isinstance(cl, (list, tuple)) else
-              cpgrid.line_features(cl, x, model.bound))
+        if isinstance(cl, (list, tuple)):
+            cp = cpgrid.line_features_multi(
+                cl, x, model.bound,
+                level_weights=(cpgrid.anneal_level_weights(alpha, len(cl))
+                               if alpha is not None else None))
+        else:
+            cp = cpgrid.line_features(cl, x, model.bound)
         h = jnp.concatenate([h, cp.astype(h.dtype)], axis=-1)
     if model.cfg.mlp_vm_rank > 0:
         vm = vmgrid.vm_features(params["vm_planes"], params["vm_lines"],
@@ -600,8 +614,11 @@ def density(model: NerfModel, params: Params, x: jax.Array, proposal: int = -1,
                           transposed=x_T is not None)
             return density_activation(model, fT[0])
         if model.is_mlp_field:
+            alpha = params.get("enc_alpha")
+            bw = (freq.anneal_band_weights(alpha, model.cfg.mlp_prop_enc_freqs)
+                  if alpha is not None else None)
             h = freq_encode(x * (jnp.pi / model.bound), model.cfg.mlp_prop_enc_freqs,
-                            out_dtype=p["mlp"][0]["w"].dtype)
+                            out_dtype=p["mlp"][0]["w"].dtype, band_weights=bw)
         else:
             h = hashgrid.hash_encode(
                 x, p["grid"], model.prop_specs[proposal], model.bound

@@ -100,10 +100,26 @@ def line_features_ref(lines: jax.Array, x: jax.Array,
     return feat
 
 
-def line_features_multi(lines_list, x: jax.Array, bound: float) -> jax.Array:
-    """Concatenated per-level CP features (coarse -> fine), [N, sum K_i]."""
-    return jnp.concatenate(
-        [line_features(l, x, bound) for l in lines_list], axis=-1)
+def line_features_multi(lines_list, x: jax.Array, bound: float,
+                        level_weights=None) -> jax.Array:
+    """Concatenated per-level CP features (coarse -> fine), [N, sum K_i].
+    `level_weights` ([L] scalars, optional) gates levels coarse-to-fine
+    during annealed training (see anneal_level_weights); None = all on."""
+    feats = [line_features(l, x, bound) for l in lines_list]
+    if level_weights is not None:
+        feats = [f * level_weights[i] for i, f in enumerate(feats)]
+    return jnp.concatenate(feats, axis=-1)
+
+
+def anneal_level_weights(alpha: jax.Array, levels: int) -> jax.Array:
+    """Cosine easing window over resolution levels (the grid analogue of
+    BARF's PE-band window, cf. Nerfies arXiv:2011.12948 §C): level i opens
+    as alpha*levels sweeps past i; exactly all-ones at alpha=1. Level 0
+    (coarsest) is always fully open so the density field can form."""
+    i = jnp.arange(levels, dtype=jnp.float32)
+    t = jnp.clip(alpha * levels - i, 0.0, 1.0)
+    w = 0.5 * (1.0 - jnp.cos(jnp.pi * t))
+    return w.at[0].set(1.0)
 
 
 def grad_total_variation(lines: jax.Array, weight: float) -> jax.Array:

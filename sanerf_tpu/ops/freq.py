@@ -22,7 +22,8 @@ import numpy as np
 
 @functools.partial(jax.jit, static_argnames=("degree", "out_dtype"), inline=True)
 def freq_encode(x: jax.Array, degree: int = 4,
-                out_dtype: Optional[jnp.dtype] = None) -> jax.Array:
+                out_dtype: Optional[jnp.dtype] = None,
+                band_weights: Optional[jax.Array] = None) -> jax.Array:
     """[..., D] -> [..., D * (1 + 2*degree)].
 
     TPU formulation: one [., D] @ [D, F] matmul + a masked sin, instead of
@@ -61,7 +62,27 @@ def freq_encode(x: jax.Array, degree: int = 4,
     z = jnp.dot(x, jnp.asarray(proj), preferred_element_type=jnp.float32,
                 precision=jax.lax.Precision.HIGH)
     out = jnp.where(jnp.asarray(is_linear), z, jnp.sin(z + jnp.asarray(phase)))
+    if band_weights is not None:
+        # coarse-to-fine gating (BARF, arXiv:2104.06405 eq. 14): scale band
+        # f's sin AND cos columns by band_weights[f]; identity columns stay.
+        # Column order is frequency-major (see layout above), so the weight
+        # vector is [1]*D ++ repeat(band_weights, 2*D).
+        w = jnp.concatenate([
+            jnp.ones((D,), jnp.float32),
+            jnp.repeat(band_weights.astype(jnp.float32), 2 * D),
+        ])
+        out = out * w
     return out.astype(out_dtype) if out_dtype is not None else out
+
+
+def anneal_band_weights(alpha: jax.Array, degree: int) -> jax.Array:
+    """BARF's cosine easing window per frequency band: band j opens as the
+    progress `alpha` in [0, 1] sweeps past j/degree —
+    w_j = (1 - cos(pi * clip(alpha*degree - j, 0, 1))) / 2. At alpha=1 every
+    weight is exactly 1 (the un-annealed encode)."""
+    j = jnp.arange(degree, dtype=jnp.float32)
+    t = jnp.clip(alpha * degree - j, 0.0, 1.0)
+    return 0.5 * (1.0 - jnp.cos(jnp.pi * t))
 
 
 def freq_output_dim(input_dim: int, degree: int) -> int:

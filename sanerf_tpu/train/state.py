@@ -131,10 +131,17 @@ def _apply_regularizer_grads(
 
 def rgb_loss_fn(model: NerfModel, cfg: TrainConfig, params: Params,
                 batch: Dict[str, jax.Array], gt_rgb, bg, render_key,
-                update_proposal: bool):
+                update_proposal: bool, enc_alpha=None):
     """THE canonical stage-1 loss (utils.py:917-931). Both the single-device
     step and the data-parallel step (parallel/dp.py) call this one function
-    — there is exactly one loss implementation to maintain."""
+    — there is exactly one loss implementation to maintain.
+
+    `enc_alpha` (traced scalar, TrainConfig.anneal_iters) rides into the
+    field apply fns as a non-trainable `params` entry — the apply fns read
+    `params.get("enc_alpha")`, so eval/inference (which never inject it)
+    always run the full encode."""
+    if enc_alpha is not None:
+        params = {**params, "enc_alpha": enc_alpha}
     out = run_rays(
         model, params, batch["rays_o"], batch["rays_d"], render_key,
         training=True, perturb=True, bg_color=bg,
@@ -187,9 +194,13 @@ def rgb_step_body(
     else:
         gt_rgb = gt
 
+    enc_alpha = None
+    if cfg.anneal_iters > 0 and model.is_mlp_field:
+        enc_alpha = jnp.minimum(state.step / cfg.anneal_iters, 1.0)
+
     def loss_fn(params):
         return rgb_loss_fn(model, cfg, params, batch, gt_rgb, bg,
-                           render_key, update_proposal)
+                           render_key, update_proposal, enc_alpha=enc_alpha)
 
     grads, aux = jax.grad(loss_fn, has_aux=True)(state.params)
     if axis_name is not None:

@@ -60,6 +60,7 @@ def run_family(field_type: str, args, mlp_width: int | None = None) -> dict:
                      adaptive_num_rays=False, lambda_distort=args.distort,
                      lambda_tv=args.tv, grid_lr_mult=args.grid_lr_mult,
                      lr=args.lr, eval_cnt=1, save_cnt=1,
+                     anneal_iters=args.anneal_iters,
                      use_native_loader=not args.no_native)
     cfg = Config(workspace=f"{args.workspace}/{field_type}"
                  + (f"_w{mlp_width}" if mlp_width else "")
@@ -77,9 +78,12 @@ def run_family(field_type: str, args, mlp_width: int | None = None) -> dict:
                                      training=False)
     # circle_poses(height=0.5 / 1.1) at radius 1.8/1.35 differ from the
     # training rings at 2.0/1.5 -> genuinely novel views
+    from sanerf_tpu.train.metrics import PSNRMeter, SSIMMeter
+
     model = fields.make_model(mc, rc)
     tr = Trainer(field_type, cfg, model, workspace=cfg.workspace,
-                 use_checkpoint="scratch")
+                 use_checkpoint="scratch",
+                 metrics=[PSNRMeter(), SSIMMeter()])
     t0 = time.time()
     steps_per_epoch = min(500, args.iters)
     tr.train(train_ds, valid_dataset=None,
@@ -90,8 +94,9 @@ def run_family(field_type: str, args, mlp_width: int | None = None) -> dict:
     out = {"field": field_type, "width": mlp_width,
            "cp_rank": args.cp_rank if field_type == "mlp" else None,
            "vm_rank": args.vm_rank if field_type == "mlp" else None,
-           "psnr": float(res["PSNRMeter"]), "train_s": round(wall, 1),
-           "iters": args.iters}
+           "psnr": float(res["PSNRMeter"]),
+           "ssim": round(float(res["SSIMMeter"]), 4),
+           "train_s": round(wall, 1), "iters": args.iters}
     print(json.dumps(out))
     return out
 
@@ -124,6 +129,9 @@ def main(argv=None):
                     help="lr multiplier for CP/VM grid tables")
     ap.add_argument("--tv", type=float, default=0.0,
                     help="lambda_tv (reaches CP lines for the mlp family)")
+    ap.add_argument("--anneal_iters", type=int, default=0,
+                    help="coarse-to-fine encode annealing (BARF-style; "
+                         "mlp family only, 0 = off)")
     ap.add_argument("--workspace", default="/tmp/quality_gate")
     ap.add_argument("--save_artifacts", action="store_true")
     ap.add_argument("--no_native", action="store_true")
