@@ -44,6 +44,12 @@ class RenderConfig:
     # tests/test_vmgrid.py); default off until the kernels get a hardware
     # Mosaic compile check (TPU-relay outage blocked it)
     cp_fused: bool = False
+    # do the [3, N, T] -> [3, N*T] pivot between the ray-geometry kernels
+    # and the fused MLP kernels in a VMEM Pallas kernel
+    # (ops/ray_kernels.flatten3_nt) instead of XLA's windowed-loop reshape
+    # (~4.8 ms/frame at 512^2). Off until the transpose chain passes a
+    # hardware Mosaic compile + A/B check.
+    flatten_kernel: bool = False
 
     @property
     def grid_bound(self) -> float:

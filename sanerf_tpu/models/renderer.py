@@ -152,7 +152,12 @@ def run_rays(
                     rays8, weights, bins, T, cfg.contract,
                     uniform_prev=level == 1 and not perturb,
                     interpret=interp, jitter=jit)
-            xyzs_T = x3.reshape(3, N * T)
+            if cfg.flatten_kernel:
+                from sanerf_tpu.ops.ray_kernels import flatten3_nt
+
+                xyzs_T = flatten3_nt(x3, interpret=interp)
+            else:
+                xyzs_T = x3.reshape(3, N * T)
         else:
             if level == 0:
                 bins = uniform_bins(N, T, keys[level])  # [N, T+1]

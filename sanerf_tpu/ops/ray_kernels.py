@@ -188,6 +188,48 @@ def _pick_block(n_rays: int, block: int) -> int:
     return r
 
 
+def _flatten_kernel(R: int, T: int):
+    def kernel(x_ref, o_ref):
+        x = x_ref[:]  # (3, R, T)
+        # Each step is a Mosaic-supported relayout (probed round 2; see the
+        # repo's Mosaic notes): two sublane-side 3-D transposes, a leading-
+        # dim merge that keeps the lane dim, then one 2-D transpose. They
+        # stay distinct lax primitives in the jaxpr, so Pallas lowers them
+        # one by one instead of a fused (1, 2, 0) transpose.
+        a = jnp.transpose(x, (1, 0, 2))  # (R, 3, T)
+        b = jnp.transpose(a, (0, 2, 1))  # (R, T, 3)
+        c = b.reshape(R * T, 3)
+        o_ref[:] = jnp.transpose(c, (1, 0))  # (3, R*T)
+
+    return kernel
+
+
+@functools.partial(jax.jit, static_argnames=("block_rays", "interpret"))
+def flatten3_nt(x3: jax.Array, block_rays: int = 512,
+                interpret: bool = False) -> jax.Array:
+    """[3, N, T] -> [3, N*T] retile as a VMEM kernel.
+
+    XLA lowers this reshape to a windowed dynamic-update-slice loop
+    (~4 ms/100 MB profiled — the ray kernels' dims-first [3, N, T] output
+    and the fused MLP kernels' flat [3, N*T] input tile differently, so
+    the merge is a physical relayout either way). Doing the pivot
+    per-block in VMEM replaces the HBM-streaming loop with block-local
+    transposes. Opt-in via RenderConfig.flatten_kernel until the Mosaic
+    transpose chain gets its hardware compile check."""
+    _, N, T = x3.shape
+    R = _pick_block(N, block_rays)
+    return pl.pallas_call(
+        _flatten_kernel(R, T),
+        grid=(N // R,),
+        in_specs=[pl.BlockSpec((3, R, T), lambda i: (0, i, 0),
+                               memory_space=pltpu.VMEM)],
+        out_specs=pl.BlockSpec((3, R * T), lambda i: (0, i),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((3, N * T), x3.dtype),
+        interpret=interpret,
+    )(x3)
+
+
 @functools.partial(
     jax.jit, static_argnames=("T", "contract", "block_rays", "interpret"))
 def ray_level0(rays8: jax.Array, T: int, contract: bool = True,

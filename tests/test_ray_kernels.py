@@ -146,3 +146,28 @@ def test_fast_path_white_background():
     for k in ("weights_sum", "depth", "image"):
         np.testing.assert_allclose(np.asarray(got[k]), np.asarray(ref[k]),
                                    rtol=2e-3, atol=2e-3, err_msg=k)
+
+
+def test_flatten3_nt_matches_reshape():
+    from sanerf_tpu.ops.ray_kernels import flatten3_nt
+
+    rng = np.random.default_rng(11)
+    for N, T, blk in [(64, 24, 16), (128, 32, 512), (48, 7, 16)]:
+        x3 = jnp.asarray(rng.normal(0, 2, (3, N, T)).astype(np.float32))
+        got = flatten3_nt(x3, block_rays=blk, interpret=True)
+        np.testing.assert_array_equal(np.asarray(got),
+                                      np.asarray(x3).reshape(3, N * T))
+
+
+def test_flatten_kernel_flag_matches_default():
+    """RenderConfig.flatten_kernel routes the pivot through the Pallas
+    kernel; frames must be IDENTICAL to the XLA-reshape fast path."""
+    fast_model, _, params = _model_pair((16, 8, 4))
+    flat_model = fields.make_model(
+        fast_model.cfg,
+        dataclasses.replace(fast_model.render_cfg, flatten_kernel=True))
+    rays_o, rays_d = _rays(24, seed=5)
+    ref = renderer.run_rays(fast_model, params, rays_o, rays_d, bg_color=1.0)
+    got = renderer.run_rays(flat_model, params, rays_o, rays_d, bg_color=1.0)
+    for k in ("weights_sum", "depth", "image"):
+        np.testing.assert_array_equal(np.asarray(got[k]), np.asarray(ref[k]))
