@@ -50,6 +50,13 @@ class RenderConfig:
     # (~4.8 ms/frame at 512^2). Off until the transpose chain passes a
     # hardware Mosaic compile + A/B check.
     flatten_kernel: bool = False
+    # lane-pack the composite kernel's per-ray epilogue: q = 128//T rays
+    # (power of two) share one 128-lane row, so the transcendental-heavy
+    # weights pipeline runs at ~full lane utilization instead of T/128
+    # (~14 ms/frame of per-ray VPU work at 512^2, the largest non-matmul
+    # cost). Off until the packed relayout chain passes a hardware Mosaic
+    # compile + A/B check.
+    packed_epilogue: bool = False
 
     @property
     def grid_bound(self) -> float:

@@ -578,12 +578,15 @@ def field_forward_T(model: NerfModel, params: Params, x, transposed: bool):
 
 
 def field_composite_T(model: NerfModel, params: Params, xT, dl, ts,
-                      opaque: bool, rays8=None, with_view: bool = False):
+                      opaque: bool, rays8=None, with_view: bool = False,
+                      pack_q: int = 1, T: Optional[int] = None):
     """Final-level field query + in-VMEM alpha composite in one kernel
     (ops/fused_mlp_t.run_tmlp_composite): the [16, N*T] field tensor never
     reaches HBM. Returns (gsum [N, 16] w-weighted field sums, depth [N],
     weights_sum [N]) — plus rgb [N, 3] (sigmoid, pre-background) when
-    `with_view` runs the SH + view-MLP branch in the same epilogue."""
+    `with_view` runs the SH + view-MLP branch in the same epilogue.
+    pack_q > 1 selects the lane-packed epilogue (dl/ts are then the ray
+    kernels' packed [N//q, q*T, 1] outputs)."""
     from sanerf_tpu.ops.fused_mlp_t import run_tmlp_composite
 
     return run_tmlp_composite(
@@ -595,6 +598,7 @@ def field_composite_T(model: NerfModel, params: Params, xT, dl, ts,
         sh_degree=model.cfg.sh_degree,
         cp_lines=params.get("cp_lines"),
         vm_planes=params.get("vm_planes"), vm_lines=params.get("vm_lines"),
+        pack_q=pack_q, T=T,
     )
 
 

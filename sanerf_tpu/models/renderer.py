@@ -135,23 +135,32 @@ def run_rays(
             # perturb threads the SAME uniform draws the XLA path uses as a
             # jitter input (drawn here in XLA, tiny [N, T+1] tensors), so
             # spp accumulation sees genuinely different stratified samples
-            from sanerf_tpu.ops.ray_kernels import ray_level, ray_level0
+            from sanerf_tpu.ops.ray_kernels import (ray_level, ray_level0,
+                                                    pick_pack_q)
 
+            pq = 0
+            if last and fast_epi and cfg.packed_epilogue:
+                pq = pick_pack_q(T, N)
+                pq = 0 if pq <= 1 else pq
+            ts_p = dl_p = None
             if level == 0:
                 jit = (None if keys[0] is None else
                        (jax.random.uniform(keys[0], (N, T + 1)) - 0.5) / T)
-                bins, rays_t, dl, x3 = ray_level0(
-                    rays8, T, cfg.contract, interpret=interp, jitter=jit)
+                bins, rays_t, dl, x3, *packed = ray_level0(
+                    rays8, T, cfg.contract, interpret=interp, jitter=jit,
+                    pack_q=pq)
             else:
                 jit = (None if keys[level] is None else
                        (jax.random.uniform(keys[level], (N, T + 1)) - 0.5)
                        / (T + 1))
                 # level-0 bins are only the analytic uniform grid when
                 # unjittered; perturbed frames must resample the real edges
-                bins, rays_t, dl, x3 = ray_level(
+                bins, rays_t, dl, x3, *packed = ray_level(
                     rays8, weights, bins, T, cfg.contract,
                     uniform_prev=level == 1 and not perturb,
-                    interpret=interp, jitter=jit)
+                    interpret=interp, jitter=jit, pack_q=pq)
+            if pq:
+                ts_p, dl_p = packed
             if cfg.flatten_kernel:
                 from sanerf_tpu.ops.ray_kernels import flatten3_nt
 
@@ -200,9 +209,11 @@ def run_rays(
                 # epilogue (profiled ~12 ms/frame of XLA glue at 512^2)
                 _gsum_epi, depth_epi, wsum_epi, rgb_epi = (
                     fields.field_composite_T(
-                        model, params, xyzs_T, dl, rays_t,
+                        model, params, xyzs_T,
+                        dl_p if pq else dl, ts_p if pq else rays_t,
                         opaque=cfg.background == "last_sample",
-                        rays8=rays8, with_view=True))
+                        rays8=rays8, with_view=True,
+                        pack_q=pq or 1, T=T if pq else None))
                 sigmas = None
             elif fast_comp:
                 # dims-first field query; compositing stays transposed (the

@@ -585,7 +585,7 @@ def _tmlp_composite_kernel(dims, leaky: bool, has_bias: bool, T: int,
                            opaque: bool, ad_freqs: int = 0,
                            f32_dots: bool = False,
                            view: Optional[Tuple[int, int, int]] = None,
-                           cp_info=None):
+                           cp_info=None, pack_q: int = 1):
     """Field chain + in-VMEM alpha compositing epilogue.
 
     The block covers R = B // T whole rays. After the last layer the
@@ -629,39 +629,82 @@ def _tmlp_composite_kernel(dims, leaky: bool, has_bias: bool, T: int,
         kout = dims[-1][2]
         B = acc.shape[0]
         R = B // T
-        h3 = acc.reshape(R, T, kout)  # whole rays per block
-        # sigma from lane 0 via a masked lane-reduction (slice+squeeze of a
-        # computed-layout value is not reliably supported)
-        lane0 = jax.lax.broadcasted_iota(jnp.int32, (1, 1, kout), 2) == 0
-        sigma_raw = jnp.sum(jnp.where(lane0, h3, 0.0), axis=2)  # [R, T]
-        # MLP-family density: shifted softplus, matching
-        # fields.density_activation (this kernel only serves the MLP fast
-        # path). Stable form = jax.nn.softplus's max(x,0)+log1p(exp(-|x|)).
-        s = sigma_raw - 1.0
-        sigma = jnp.maximum(s, 0.0) + jnp.log1p(jnp.exp(-jnp.abs(s)))
-        dl = dl_ref[:]
-        ds = dl * sigma
-        if opaque:
-            last = jax.lax.broadcasted_iota(jnp.int32, (R, T), 1) == T - 1
-            ds_a = jnp.where(last, jnp.inf, ds)
+        q = pack_q
+        if q > 1:
+            # PACKED epilogue: q rays' samples share one 128-lane row, so
+            # the transcendental-heavy weights pipeline (softplus, two
+            # exps, the cumsum matmul) runs at q*T/128 lane utilization
+            # instead of T/128 (T=32: 25% -> 100%). dl/ts arrive
+            # pre-packed [Rq, q*T, 1] from the ray kernels (_pack_rows) —
+            # a (R, T) -> (Rq, qT) repack is a forbidden sublane->lane
+            # merge in-kernel, but the producer has the planes in VMEM.
+            Rq, qT = R // q, q * T
+            hq = acc.reshape(Rq, qT, kout)
+            lane0 = jax.lax.broadcasted_iota(jnp.int32, (1, 1, kout), 2) == 0
+            sigma_raw = jnp.sum(jnp.where(lane0, hq, 0.0), axis=2)  # [Rq,qT]
+            s = sigma_raw - 1.0
+            sigma = jnp.maximum(s, 0.0) + jnp.log1p(jnp.exp(-jnp.abs(s)))
+            dl = dl_ref[:, :, 0]  # [Rq, qT] natural load
+            ds = dl * sigma
+            lane_t = jax.lax.broadcasted_iota(jnp.int32, (Rq, qT), 1)
+            if opaque:
+                ds_a = jnp.where(lane_t % T == T - 1, jnp.inf, ds)
+            else:
+                ds_a = ds
+            alphas = 1.0 - jnp.exp(-ds_a)
+            i = jax.lax.broadcasted_iota(jnp.int32, (qT, qT), 0)
+            j = jax.lax.broadcasted_iota(jnp.int32, (qT, qT), 1)
+            # block-diagonal strict-upper triangle: rays don't mix
+            tri = ((i < j) & (i // T == j // T)).astype(jnp.float32)
+            cum = jnp.dot(ds, tri, preferred_element_type=jnp.float32,
+                          precision=jax.lax.Precision.HIGHEST)
+            w = alphas * jnp.exp(-cum)
+            w = jnp.where(jnp.isnan(w), 0.0, w)  # [Rq, qT]
+            # back to flat [B, 1] (lane->sublane pivot + leading merge),
+            # then per-ray sums via leading-split + middle-axis reductions
+            w_flat = jnp.transpose(
+                w.reshape(Rq, 1, qT), (0, 2, 1)).reshape(B, 1)
+            gsum = jnp.sum((acc * w_flat).reshape(R, T, kout), axis=1)
+            wts = w * ts_ref[:, :, 0]
+            wts_flat = jnp.transpose(
+                wts.reshape(Rq, 1, qT), (0, 2, 1)).reshape(B, 1)
+            depth = jnp.sum(wts_flat.reshape(R, T, 1), axis=1)  # [R, 1]
+            wsum = jnp.sum(w_flat.reshape(R, T, 1), axis=1)
         else:
-            ds_a = ds
-        alphas = 1.0 - jnp.exp(-ds_a)
-        i = jax.lax.broadcasted_iota(jnp.int32, (T, T), 0)
-        j = jax.lax.broadcasted_iota(jnp.int32, (T, T), 1)
-        tri = (i < j).astype(jnp.float32)
-        cum = jnp.dot(ds, tri, preferred_element_type=jnp.float32,
-                      precision=jax.lax.Precision.HIGHEST)
-        w = alphas * jnp.exp(-cum)
-        w = jnp.where(jnp.isnan(w), 0.0, w)  # [R, T]
-        # lane -> sublane pivot for the broadcast multiply
-        w3 = jnp.transpose(w.reshape(R, 1, T), (0, 2, 1))  # [R, T, 1]
-        gsum = jnp.sum(h3 * w3, axis=1)  # [R, kout]
+            h3 = acc.reshape(R, T, kout)  # whole rays per block
+            # sigma from lane 0 via a masked lane-reduction (slice+squeeze
+            # of a computed-layout value is not reliably supported)
+            lane0 = jax.lax.broadcasted_iota(jnp.int32, (1, 1, kout), 2) == 0
+            sigma_raw = jnp.sum(jnp.where(lane0, h3, 0.0), axis=2)  # [R, T]
+            # MLP-family density: shifted softplus, matching
+            # fields.density_activation (this kernel only serves the MLP
+            # fast path). Stable form = jax.nn.softplus's
+            # max(x,0)+log1p(exp(-|x|)).
+            s = sigma_raw - 1.0
+            sigma = jnp.maximum(s, 0.0) + jnp.log1p(jnp.exp(-jnp.abs(s)))
+            dl = dl_ref[:]
+            ds = dl * sigma
+            if opaque:
+                last = jax.lax.broadcasted_iota(jnp.int32, (R, T), 1) == T - 1
+                ds_a = jnp.where(last, jnp.inf, ds)
+            else:
+                ds_a = ds
+            alphas = 1.0 - jnp.exp(-ds_a)
+            i = jax.lax.broadcasted_iota(jnp.int32, (T, T), 0)
+            j = jax.lax.broadcasted_iota(jnp.int32, (T, T), 1)
+            tri = (i < j).astype(jnp.float32)
+            cum = jnp.dot(ds, tri, preferred_element_type=jnp.float32,
+                          precision=jax.lax.Precision.HIGHEST)
+            w = alphas * jnp.exp(-cum)
+            w = jnp.where(jnp.isnan(w), 0.0, w)  # [R, T]
+            # lane -> sublane pivot for the broadcast multiply
+            w3 = jnp.transpose(w.reshape(R, 1, T), (0, 2, 1))  # [R, T, 1]
+            gsum = jnp.sum(h3 * w3, axis=1)  # [R, kout]
+            depth = jnp.sum(w * ts_ref[:], axis=1, keepdims=True)  # [R, 1]
+            wsum = jnp.sum(w, axis=1, keepdims=True)
         gsum_ref[:, :kout] = gsum
         if gsum_ref.shape[1] > kout:
             gsum_ref[:, kout:] = jnp.zeros_like(gsum_ref[:, kout:])
-        depth = jnp.sum(w * ts_ref[:], axis=1, keepdims=True)  # [R, 1]
-        wsum = jnp.sum(w, axis=1, keepdims=True)
         col = jax.lax.broadcasted_iota(jnp.int32, (R, 8), 1)
         aux = (jnp.where(col == 0, depth, 0.0)
                + jnp.where(col == 1, wsum, 0.0))
@@ -713,24 +756,33 @@ def _tmlp_composite_kernel(dims, leaky: bool, has_bias: bool, T: int,
 @functools.partial(
     jax.jit,
     static_argnames=("dims", "leaky", "T", "opaque", "block", "out_rows",
-                     "interpret", "ad_freqs", "view", "cp_info"),
+                     "interpret", "ad_freqs", "view", "cp_info", "pack_q"),
 )
 def _run_tmlp_composite(xT, dl, ts, wstack, bias, projT, phase, lmask, dims,
                         leaky, T, opaque, block, out_rows, interpret,
                         ad_freqs=0, rays8=None, vgeo=None, vsh=None,
-                        vrest=None, view=None, cpT=None, cp_info=None):
+                        vrest=None, view=None, cpT=None, cp_info=None,
+                        pack_q=1):
     NT = xT.shape[1]
     N = NT // T
     rows = xT.shape[0]
-    assert block % T == 0, (block, T)
+    q = pack_q
+    assert block % (T * q) == 0, (block, T, q)
     NTp = _round_up(max(NT, block), block)
     if NTp != NT:
         # padded rays: dl = 0 -> w = 0 -> zero sums (harmless rows)
         xT = jnp.concatenate([xT, jnp.zeros((rows, NTp - NT), xT.dtype)], 1)
-        dl = jnp.concatenate(
-            [dl, jnp.zeros(((NTp - NT) // T, T), dl.dtype)], 0)
-        ts = jnp.concatenate(
-            [ts, jnp.zeros(((NTp - NT) // T, T), ts.dtype)], 0)
+        if q > 1:  # dl/ts pre-packed [N//q, q*T, 1]
+            pad = (NTp - NT) // (T * q)
+            dl = jnp.concatenate(
+                [dl, jnp.zeros((pad, q * T, 1), dl.dtype)], 0)
+            ts = jnp.concatenate(
+                [ts, jnp.zeros((pad, q * T, 1), ts.dtype)], 0)
+        else:
+            dl = jnp.concatenate(
+                [dl, jnp.zeros(((NTp - NT) // T, T), dl.dtype)], 0)
+            ts = jnp.concatenate(
+                [ts, jnp.zeros(((NTp - NT) // T, T), ts.dtype)], 0)
         if rays8 is not None:
             rays8 = jnp.concatenate(
                 [rays8, jnp.zeros(((NTp - NT) // T, rays8.shape[1]),
@@ -739,11 +791,17 @@ def _run_tmlp_composite(xT, dl, ts, wstack, bias, projT, phase, lmask, dims,
     has_bias = bias is not None
     kern = _tmlp_composite_kernel(dims, leaky, has_bias, T, opaque, ad_freqs,
                                   f32_dots=interpret, view=view,
-                                  cp_info=cp_info)
+                                  cp_info=cp_info, pack_q=q)
+    if q > 1:
+        dlts_spec = pl.BlockSpec((R // q, q * T, 1), lambda i: (i, 0, 0),
+                                 memory_space=pltpu.VMEM)
+    else:
+        dlts_spec = pl.BlockSpec((R, T), lambda i: (i, 0),
+                                 memory_space=pltpu.VMEM)
     in_specs = [
         pl.BlockSpec((rows, block), lambda i: (0, i), memory_space=pltpu.VMEM),
-        pl.BlockSpec((R, T), lambda i: (i, 0), memory_space=pltpu.VMEM),
-        pl.BlockSpec((R, T), lambda i: (i, 0), memory_space=pltpu.VMEM),
+        dlts_spec,
+        dlts_spec,
         pl.BlockSpec(wstack.shape, lambda i: (0, 0, 0), memory_space=pltpu.VMEM),
         pl.BlockSpec(projT.shape, lambda i: (0, 0), memory_space=pltpu.VMEM),
         pl.BlockSpec(phase.shape, lambda i: (0, 0), memory_space=pltpu.VMEM),
@@ -799,7 +857,8 @@ def run_tmlp_composite(xT, dl, ts, layers, enc_freqs: int, bound: float,
                        interpret: Optional[bool] = None,
                        angle_double: bool = True,
                        rays8=None, view_layers=None, sh_degree: int = 4,
-                       cp_lines=None, vm_planes=None, vm_lines=None):
+                       cp_lines=None, vm_planes=None, vm_lines=None,
+                       pack_q: int = 1, T: Optional[int] = None):
     """Final-level field query + alpha composite as ONE kernel.
 
     xT: [3, N*T] contracted sample coordinates (dims-first, the ray-kernel
@@ -811,14 +870,22 @@ def run_tmlp_composite(xT, dl, ts, layers, enc_freqs: int, bound: float,
     With `rays8` ([N, 8] packed rays, dirs in cols 3:6) and `view_layers`
     (the per-ray view MLP), the kernel also runs SH encode + the view MLP
     in its epilogue and the return gains `rgb` [N, 3] (sigmoid applied,
-    background NOT blended): (gsum, depth, weights_sum, rgb)."""
+    background NOT blended): (gsum, depth, weights_sum, rgb).
+
+    With `pack_q` > 1 the epilogue runs lane-packed (q rays per 128-lane
+    row): dl/ts must then be the ray kernels' pre-packed [N//q, q*T, 1]
+    outputs (ray_level0/ray_level pack_q=...) and `T` must be passed
+    explicitly."""
     dtype = layers[0]["w"].dtype
     if not jnp.issubdtype(dtype, jnp.floating):
         dtype = jnp.float32
     if interpret is None:
         interpret = jax.default_backend() == "cpu"
-    T = dl.shape[1]
-    block = max(block // T, 1) * T
+    if pack_q > 1:
+        assert T is not None and dl.ndim == 3 and dl.shape[1] == pack_q * T
+    else:
+        T = dl.shape[1]
+    block = max(block // (T * pack_q), 1) * (T * pack_q)
     view = None
     vgeo = vsh = vrest = None
     if view_layers is not None:
@@ -845,7 +912,7 @@ def run_tmlp_composite(xT, dl, ts, layers, enc_freqs: int, bound: float,
             lmask, dims, leaky, T, opaque, block,
             _round_up(dims[-1][2], 8), interpret, ad_freqs=enc_freqs,
             rays8=rays8, vgeo=vgeo, vsh=vsh, vrest=vrest, view=view,
-            cpT=cpT, cp_info=cp_info)
+            cpT=cpT, cp_info=cp_info, pack_q=pack_q)
     else:
         projT, phase, lmask, _ = make_enc_consts(
             enc_freqs, float(np.pi / bound))
@@ -855,7 +922,8 @@ def run_tmlp_composite(xT, dl, ts, layers, enc_freqs: int, bound: float,
             xT.astype(jnp.float32), dl, ts, wstack, bias, projT[:, :3], phase,
             lmask, dims, leaky, T, opaque, block,
             _round_up(dims[-1][2], 8), interpret,
-            rays8=rays8, vgeo=vgeo, vsh=vsh, vrest=vrest, view=view)
+            rays8=rays8, vgeo=vgeo, vsh=vsh, vrest=vrest, view=view,
+            pack_q=pack_q)
     if view is not None:
         return gsum, aux[:, 0], aux[:, 1], aux[:, 2:5]
     return gsum, aux[:, 0], aux[:, 1]

@@ -128,9 +128,24 @@ def _store_planes(x3_ref, cx, cy, cz):
     x3_ref[2] = cz
 
 
-def _ray0_kernel(R: int, T: int, contract: bool, jittered: bool):
+def _pack_rows(v, R: int, T: int, q: int):
+    """(R, T) plane -> (R//q, q*T, 1): q rays' samples share one lane row
+    (the packed-epilogue feed). Chain of Mosaic-supported relayouts only:
+    the reshape+transpose lane->sublane pivot (same as the jitter path
+    above), then a leading-dim merge/split that keeps the lane dim (=1)."""
+    v3 = jnp.transpose(v.reshape(R, 1, T), (0, 2, 1))  # (R, T, 1)
+    return v3.reshape(R // q, q * T, 1)
+
+
+def _store_packed(ts_p_ref, dl_p_ref, ts, dl, R, T, q):
+    ts_p_ref[:] = _pack_rows(ts, R, T, q)
+    dl_p_ref[:] = _pack_rows(dl, R, T, q)
+
+
+def _ray0_kernel(R: int, T: int, contract: bool, jittered: bool,
+                 pack_q: int = 0):
     def kernel(rays_ref, *refs):
-        jit_ref, (bins_ref, ts_ref, dl_ref, x3_ref) = (
+        jit_ref, (bins_ref, ts_ref, dl_ref, x3_ref, *packed) = (
             (refs[0], refs[1:]) if jittered else (None, refs))
         rays = rays_ref[:]
         bins = _iota2((R, T + 1), 1).astype(jnp.float32) / T
@@ -143,14 +158,16 @@ def _ray0_kernel(R: int, T: int, contract: bool, jittered: bool):
         ts_ref[:] = ts
         dl_ref[:] = dl
         _store_planes(x3_ref, cx, cy, cz)
+        if pack_q:
+            _store_packed(packed[0], packed[1], ts, dl, R, T, pack_q)
 
     return kernel
 
 
 def _ray_kernel(R: int, T0: int, T: int, contract: bool, uniform_prev: bool,
-                jittered: bool):
+                jittered: bool, pack_q: int = 0):
     def kernel(rays_ref, wprev_ref, bprev_ref, *refs):
-        jit_ref, (bins_ref, ts_ref, dl_ref, x3_ref) = (
+        jit_ref, (bins_ref, ts_ref, dl_ref, x3_ref, *packed) = (
             (refs[0], refs[1:]) if jittered else (None, refs))
         rays = rays_ref[:]
         bins_prev = None if uniform_prev else bprev_ref[:]
@@ -161,31 +178,53 @@ def _ray_kernel(R: int, T0: int, T: int, contract: bool, uniform_prev: bool,
         ts_ref[:] = ts
         dl_ref[:] = dl
         _store_planes(x3_ref, cx, cy, cz)
+        if pack_q:
+            _store_packed(packed[0], packed[1], ts, dl, R, T, pack_q)
 
     return kernel
 
 
-def _specs(R, T, n_rays):
-    out_specs = (
+def _specs(R, T, n_rays, pack_q: int = 0):
+    out_specs = [
         pl.BlockSpec((R, T + 1), lambda i: (i, 0), memory_space=pltpu.VMEM),
         pl.BlockSpec((R, T), lambda i: (i, 0), memory_space=pltpu.VMEM),
         pl.BlockSpec((R, T), lambda i: (i, 0), memory_space=pltpu.VMEM),
         pl.BlockSpec((3, R, T), lambda i: (0, i, 0), memory_space=pltpu.VMEM),
-    )
-    out_shape = (
+    ]
+    out_shape = [
         jax.ShapeDtypeStruct((n_rays, T + 1), jnp.float32),
         jax.ShapeDtypeStruct((n_rays, T), jnp.float32),
         jax.ShapeDtypeStruct((n_rays, T), jnp.float32),
         jax.ShapeDtypeStruct((3, n_rays, T), jnp.float32),
-    )
-    return out_specs, out_shape
+    ]
+    if pack_q:
+        for _ in range(2):  # ts_p, dl_p
+            out_specs.append(pl.BlockSpec(
+                (R // pack_q, pack_q * T, 1), lambda i: (i, 0, 0),
+                memory_space=pltpu.VMEM))
+            out_shape.append(jax.ShapeDtypeStruct(
+                (n_rays // pack_q, pack_q * T, 1), jnp.float32))
+    return tuple(out_specs), tuple(out_shape)
 
 
-def _pick_block(n_rays: int, block: int) -> int:
+def _pick_block(n_rays: int, block: int, pack_q: int = 0) -> int:
     r = min(block, n_rays)
-    while n_rays % r:
+    while n_rays % r or (pack_q and r % pack_q):
         r //= 2
+        assert r, (n_rays, block, pack_q)
     return r
+
+
+def pick_pack_q(T: int, n_rays: int) -> int:
+    """Lane-packing factor for the composite epilogue: the largest power
+    of two q with q*T <= 128 (q rays' samples share a 128-lane row; powers
+    of two keep q | n_rays for the usual ray counts). 1 = no packing."""
+    q = 1
+    while 2 * q * T <= 128:
+        q *= 2
+    while q > 1 and n_rays % q:
+        q //= 2
+    return q
 
 
 def _flatten_kernel(R: int, T: int):
@@ -231,16 +270,19 @@ def flatten3_nt(x3: jax.Array, block_rays: int = 512,
 
 
 @functools.partial(
-    jax.jit, static_argnames=("T", "contract", "block_rays", "interpret"))
+    jax.jit, static_argnames=("T", "contract", "block_rays", "interpret",
+                              "pack_q"))
 def ray_level0(rays8: jax.Array, T: int, contract: bool = True,
                block_rays: int = 512, interpret: bool = False,
-               jitter: Optional[jax.Array] = None):
+               jitter: Optional[jax.Array] = None, pack_q: int = 0):
     """Level-0 geometry: uniform bins. rays8 [N, 8] = [o, d, s_near, s_far];
     jitter: optional [N, T+1] per-edge offsets ((uniform-0.5)/T, the
-    perturb path). -> (bins [N, T+1], ts [N, T], dl [N, T], x3 [3, N, T])."""
+    perturb path). -> (bins [N, T+1], ts [N, T], dl [N, T], x3 [3, N, T]);
+    with pack_q > 0, also ts_p/dl_p [N//q, q*T, 1] (q rays per lane row,
+    the packed composite-epilogue feed)."""
     N = rays8.shape[0]
-    R = _pick_block(N, block_rays)
-    out_specs, out_shape = _specs(R, T, N)
+    R = _pick_block(N, block_rays, pack_q)
+    out_specs, out_shape = _specs(R, T, N, pack_q)
     kw = {} if interpret else dict(compiler_params=pltpu.CompilerParams(
         vmem_limit_bytes=100 * 1024 * 1024))
     in_specs = [pl.BlockSpec((R, 8), lambda i: (i, 0),
@@ -251,7 +293,7 @@ def ray_level0(rays8: jax.Array, T: int, contract: bool = True,
                                      memory_space=pltpu.VMEM))
         args.append(jitter)
     return pl.pallas_call(
-        _ray0_kernel(R, T, contract, jitter is not None),
+        _ray0_kernel(R, T, contract, jitter is not None, pack_q),
         grid=(N // R,),
         in_specs=in_specs,
         out_specs=out_specs,
@@ -264,20 +306,20 @@ def ray_level0(rays8: jax.Array, T: int, contract: bool = True,
 @functools.partial(
     jax.jit,
     static_argnames=("T", "contract", "uniform_prev", "block_rays",
-                     "interpret"))
+                     "interpret", "pack_q"))
 def ray_level(rays8: jax.Array, w_prev: jax.Array, bins_prev: jax.Array,
               T: int, contract: bool = True, uniform_prev: bool = False,
               block_rays: int = 512, interpret: bool = False,
-              jitter: Optional[jax.Array] = None):
+              jitter: Optional[jax.Array] = None, pack_q: int = 0):
     """Level i>0: inverse-CDF resample against the previous level's weights,
     then geometry. `uniform_prev` marks the previous bins as the analytic
     uniform grid (level 1, only valid when level 0 was NOT jittered).
     jitter: optional [N, T+1] stratified-u offsets ((uniform-0.5)/(T+1),
-    matching sample_pdf's perturb draw)."""
+    matching sample_pdf's perturb draw). pack_q as in ray_level0."""
     N = rays8.shape[0]
     T0 = w_prev.shape[1]
-    R = _pick_block(N, block_rays)
-    out_specs, out_shape = _specs(R, T, N)
+    R = _pick_block(N, block_rays, pack_q)
+    out_specs, out_shape = _specs(R, T, N, pack_q)
     kw = {} if interpret else dict(compiler_params=pltpu.CompilerParams(
         vmem_limit_bytes=100 * 1024 * 1024))
     in_specs = [
@@ -292,7 +334,8 @@ def ray_level(rays8: jax.Array, w_prev: jax.Array, bins_prev: jax.Array,
                                      memory_space=pltpu.VMEM))
         args.append(jitter)
     return pl.pallas_call(
-        _ray_kernel(R, T0, T, contract, uniform_prev, jitter is not None),
+        _ray_kernel(R, T0, T, contract, uniform_prev, jitter is not None,
+                    pack_q),
         grid=(N // R,),
         in_specs=in_specs,
         out_specs=out_specs,

@@ -171,3 +171,56 @@ def test_flatten_kernel_flag_matches_default():
     got = renderer.run_rays(flat_model, params, rays_o, rays_d, bg_color=1.0)
     for k in ("weights_sum", "depth", "image"):
         np.testing.assert_array_equal(np.asarray(got[k]), np.asarray(ref[k]))
+
+
+def test_pack_rows_and_pick_q():
+    from sanerf_tpu.ops.ray_kernels import pick_pack_q, ray_level0
+
+    assert pick_pack_q(32, 512 * 512) == 4
+    assert pick_pack_q(24, 512 * 512) == 4
+    assert pick_pack_q(128, 4096) == 1
+    assert pick_pack_q(4, 24) == 8  # clipped to divide n_rays
+
+    rng = np.random.default_rng(3)
+    rays8 = jnp.asarray(rng.normal(0, 1, (32, 8)).astype(np.float32))
+    rays8 = rays8.at[:, 6].set(0.1).at[:, 7].set(1.0)
+    out = ray_level0(rays8, 8, True, interpret=True, pack_q=4)
+    bins, ts, dl, x3, ts_p, dl_p = out
+    assert ts_p.shape == (8, 32, 1) and dl_p.shape == (8, 32, 1)
+    # packed rows are the flat row-major ts/dl
+    np.testing.assert_array_equal(
+        np.asarray(ts_p).reshape(-1), np.asarray(ts).reshape(-1))
+    np.testing.assert_array_equal(
+        np.asarray(dl_p).reshape(-1), np.asarray(dl).reshape(-1))
+
+
+def test_packed_epilogue_matches_default():
+    """RenderConfig.packed_epilogue lane-packs the composite epilogue;
+    frames must match the unpacked fused path bit-for-bit."""
+    fast_model, _, params = _model_pair((16, 8, 4))
+    packed_model = fields.make_model(
+        fast_model.cfg,
+        dataclasses.replace(fast_model.render_cfg, packed_epilogue=True))
+    rays_o, rays_d = _rays(24, seed=9)
+    ref = renderer.run_rays(fast_model, params, rays_o, rays_d, bg_color=1.0)
+    got = renderer.run_rays(packed_model, params, rays_o, rays_d,
+                            bg_color=1.0)
+    for k in ("weights_sum", "depth", "image"):
+        np.testing.assert_allclose(np.asarray(got[k]), np.asarray(ref[k]),
+                                   rtol=1e-6, atol=1e-6, err_msg=k)
+
+
+def test_packed_epilogue_opaque_background():
+    fast_model, _, params = _model_pair((16, 8))
+    rc = fast_model.render_cfg
+    m_ref = fields.make_model(
+        fast_model.cfg, dataclasses.replace(rc, background="last_sample"))
+    m_pack = fields.make_model(
+        fast_model.cfg, dataclasses.replace(rc, background="last_sample",
+                                            packed_epilogue=True))
+    rays_o, rays_d = _rays(16, seed=2)
+    ref = renderer.run_rays(m_ref, params, rays_o, rays_d)
+    got = renderer.run_rays(m_pack, params, rays_o, rays_d)
+    for k in ("weights_sum", "depth", "image"):
+        np.testing.assert_allclose(np.asarray(got[k]), np.asarray(ref[k]),
+                                   rtol=1e-6, atol=1e-6, err_msg=k)
