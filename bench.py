@@ -29,7 +29,9 @@ import numpy as np
 BASELINE_FPS = 5.0  # V100, readme.md:5
 
 
-def _build_session(num_steps):
+def _build_session(num_steps, rc_overrides=None, mc_overrides=None, size=512):
+    import dataclasses
+
     import jax
     import jax.numpy as jnp
 
@@ -43,6 +45,10 @@ def _build_session(num_steps):
                       max_ray_batch=512 * 512)
     mc = ModelConfig(field_type="mlp", with_sam=True,
                      sam_use_view_direction=True)
+    if rc_overrides:
+        rc = dataclasses.replace(rc, **rc_overrides)
+    if mc_overrides:
+        mc = dataclasses.replace(mc, **mc_overrides)
     model = fields.make_model(mc, rc)
     params = fields.init_params(model, jax.random.key(0))
     params = fields.cast_params(params, jnp.bfloat16)  # bf16 inference path
@@ -59,7 +65,7 @@ def _build_session(num_steps):
     )
     sam_params = fields.cast_params(sam_params, jnp.bfloat16)
     sam = SamPredictor(sam_cfg, sam_params)
-    return InteractiveSession(Config(), model, params, sam, H=512, W=512)
+    return InteractiveSession(Config(), model, params, sam, H=size, W=size)
 
 
 def _drive(session, n_frames=7, sync=False):

@@ -1,0 +1,75 @@
+"""A/B the opt-in inference kernels on the interactive frame.
+
+Runs the SAME product loop bench.py times (InteractiveSession.step ->
+FramePipeline, 512x512 + SAM decode) once per RenderConfig flag combo and
+prints a table of steady-state frame times, so a hardware session can decide
+which opt-in kernels (flatten_kernel, packed_epilogue, cp_fused) to promote
+to defaults. Each combo builds a fresh session (fresh compile).
+
+Usage: python tools/ab_flags.py [--frames N] [--steps 32,24]
+"""
+
+import argparse
+import sys
+import time
+
+sys.path.insert(0, ".")  # repo root
+
+from bench import _build_session, _drive  # noqa: E402
+
+COMBOS = [
+    ("baseline", {}, {}),
+    ("flatten_kernel", {"flatten_kernel": True}, {}),
+    ("packed_epilogue", {"packed_epilogue": True}, {}),
+    ("flatten+packed", {"flatten_kernel": True, "packed_epilogue": True}, {}),
+    # grid-augmented flagship through the fused kernels (different model —
+    # measures the in-kernel CP/VM feature cost, not comparable to baseline)
+    ("cp96_fused", {"cp_fused": True},
+     {"mlp_cp_rank": 96, "mlp_cp_res": 256}),
+    ("cp96+vm16_fused", {"cp_fused": True, "packed_epilogue": True},
+     {"mlp_cp_rank": 96, "mlp_cp_res": 256, "mlp_vm_rank": 16,
+      "mlp_vm_res": 64}),
+]
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--frames", type=int, default=7)
+    ap.add_argument("--steps", default="32,24")
+    ap.add_argument("--size", type=int, default=512,
+                    help="render resolution (small for CPU smoke tests)")
+    ap.add_argument("--combos", default=None,
+                    help="comma list of combo names (default: all)")
+    args = ap.parse_args()
+    steps = tuple(int(s) for s in args.steps.split(","))
+    want = None if args.combos is None else set(args.combos.split(","))
+
+    rows = []
+    for name, rc_over, mc_over in COMBOS:
+        if want is not None and name not in want:
+            continue
+        t0 = time.time()
+        try:
+            sess = _build_session(steps, rc_over, mc_over, size=args.size)
+            dt, compile_s = _drive(sess, n_frames=args.frames)
+            rows.append((name, dt * 1000, compile_s))
+            print(f"{name:20s} {dt*1000:8.1f} ms/frame  "
+                  f"({1.0/dt:5.2f} fps, compile {compile_s:.0f}s)", flush=True)
+        except Exception as e:  # Mosaic rejections are a finding, not a crash
+            rows.append((name, None, time.time() - t0))
+            msg = str(e).splitlines()[0][:160]
+            print(f"{name:20s} FAILED: {type(e).__name__}: {msg}", flush=True)
+
+    print("\n== ab_flags summary ==")
+    base = next((r[1] for r in rows if r[0] == "baseline" and r[1]), None)
+    for name, ms, _ in rows:
+        if ms is None:
+            print(f"  {name:20s} FAILED")
+        elif base and name != "baseline":
+            print(f"  {name:20s} {ms:7.1f} ms  ({ms - base:+.1f} ms vs baseline)")
+        else:
+            print(f"  {name:20s} {ms:7.1f} ms")
+
+
+if __name__ == "__main__":
+    main()
