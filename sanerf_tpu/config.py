@@ -125,6 +125,13 @@ class ModelConfig:
     # XLA path (the fused kernels don't consume planes).
     mlp_vm_rank: int = 0
     mlp_vm_res: int = 64
+    # XLA-path lookup primitive for the CP/VM tables: "gather" row-gathers
+    # the interpolation corners (6/point CP, 12/point VM — the only viable
+    # form at TensoRF-scale capacity, e.g. vm_res 256 x rank 32); "onehot"
+    # keeps the iota-compare matmul form (bit-identical math; what the
+    # fused inference kernels use in-VMEM, ops/fused_mlp_t.py). Training
+    # and XLA inference honor this; the cp_fused kernels are unaffected.
+    grid_lookup: str = "gather"
     mlp_prop_enc_freqs: int = 5
     mlp_prop_width: int = 64
     mlp_prop_depth: int = 4

@@ -482,19 +482,24 @@ def position_features(model: NerfModel, params: Params, x: jax.Array,
           if alpha is not None else None)
     h = freq_encode(x * (jnp.pi / model.bound), model.cfg.mlp_enc_freqs,
                     out_dtype=dtype, band_weights=bw)
+    lookup = getattr(model.cfg, "grid_lookup", "gather")
     if model.cfg.mlp_cp_rank > 0:
         cl = params["cp_lines"]
         if isinstance(cl, (list, tuple)):
             cp = cpgrid.line_features_multi(
                 cl, x, model.bound,
                 level_weights=(cpgrid.anneal_level_weights(alpha, len(cl))
-                               if alpha is not None else None))
+                               if alpha is not None else None),
+                lookup=lookup)
         else:
-            cp = cpgrid.line_features(cl, x, model.bound)
+            cp_fn = (cpgrid.line_features_gather if lookup == "gather"
+                     else cpgrid.line_features)
+            cp = cp_fn(cl, x, model.bound)
         h = jnp.concatenate([h, cp.astype(h.dtype)], axis=-1)
     if model.cfg.mlp_vm_rank > 0:
-        vm = vmgrid.vm_features(params["vm_planes"], params["vm_lines"],
-                                x, model.bound)
+        vm_fn = (vmgrid.vm_features_gather if lookup == "gather"
+                 else vmgrid.vm_features)
+        vm = vm_fn(params["vm_planes"], params["vm_lines"], x, model.bound)
         h = jnp.concatenate([h, vm.astype(h.dtype)], axis=-1)
     return h
 

@@ -83,6 +83,29 @@ def line_features(lines: jax.Array, x: jax.Array, bound: float) -> jax.Array:
     return feat
 
 
+def line_features_gather(lines: jax.Array, x: jax.Array,
+                         bound: float) -> jax.Array:
+    """Gather-based CP lookup — the TRAINING/XLA-path twin of
+    :func:`line_features` (bit-identical math; 6 row gathers per point
+    instead of ``3 * R * K`` MACs). The one-hot contraction is the right
+    form INSIDE the fused inference kernels where the lines live in VMEM
+    and gathers don't exist (ops/fused_mlp_t._cp_block); on the XLA path
+    gathers win as soon as R*K outgrows a few thousand MACs/point —
+    which every capacity-relevant configuration does."""
+    R = lines.shape[1]
+    u = jnp.clip((x / bound * 0.5 + 0.5) * (R - 1), 0.0, R - 1)
+    i0 = jnp.floor(u).astype(jnp.int32)
+    i1 = jnp.minimum(i0 + 1, R - 1)
+    f = (u - jnp.floor(u)).astype(jnp.float32)
+    feat = None
+    for a in range(3):
+        v0 = jnp.take(lines[a], i0[:, a], axis=0).astype(jnp.float32)
+        v1 = jnp.take(lines[a], i1[:, a], axis=0).astype(jnp.float32)
+        fa = v0 * (1.0 - f[:, a : a + 1]) + v1 * f[:, a : a + 1]
+        feat = fa if feat is None else feat * fa
+    return feat
+
+
 def line_features_ref(lines: jax.Array, x: jax.Array,
                       bound: float) -> jax.Array:
     """Gather-based reference implementation (oracle for tests)."""
@@ -101,11 +124,13 @@ def line_features_ref(lines: jax.Array, x: jax.Array,
 
 
 def line_features_multi(lines_list, x: jax.Array, bound: float,
-                        level_weights=None) -> jax.Array:
+                        level_weights=None, lookup: str = "onehot") -> jax.Array:
     """Concatenated per-level CP features (coarse -> fine), [N, sum K_i].
     `level_weights` ([L] scalars, optional) gates levels coarse-to-fine
-    during annealed training (see anneal_level_weights); None = all on."""
-    feats = [line_features(l, x, bound) for l in lines_list]
+    during annealed training (see anneal_level_weights); None = all on.
+    `lookup` picks the per-level primitive ("onehot" | "gather")."""
+    fn = line_features_gather if lookup == "gather" else line_features
+    feats = [fn(l, x, bound) for l in lines_list]
     if level_weights is not None:
         feats = [f * level_weights[i] for i, f in enumerate(feats)]
     return jnp.concatenate(feats, axis=-1)

@@ -95,6 +95,52 @@ def vm_features(planes: jax.Array, lines: jax.Array, x: jax.Array,
     return jnp.concatenate(feats, axis=-1)
 
 
+def vm_features_gather(planes: jax.Array, lines: jax.Array, x: jax.Array,
+                       bound: float) -> jax.Array:
+    """Gather-based VM lookup — the high-capacity TRAINING/XLA path.
+
+    Mathematically identical to :func:`vm_features`, but row-gathers the 4
+    bilinear corners from the flattened ``[R*R, K]`` plane instead of
+    building one-hot contractions, so per-point cost is 12 row gathers +
+    O(K) VPU math instead of ``3 * R * (R*K)`` MACs. At TensoRF scale
+    (R=256, K=32 — the capacity regime that actually matches the
+    reference's hash grid, arXiv:2203.09517 Tab. 1) the one-hot
+    contraction is ~2M MACs/point and simply not viable; TPU row gathers
+    run at ~10-100M rows/s (tools/probe_gather.py) and need only 12/point
+    here vs the hash grid's ``8 * levels = 128``. Backward is the
+    transposed scatter-add (deterministic on TPU, XLA sorts duplicates).
+    """
+    _, R, _, K = planes.shape
+    Rl = lines.shape[1]
+    i0p, fp, _ = _interp_weights(x, bound, R)
+    i1p = jnp.minimum(i0p + 1, R - 1)
+    i0l, fl, _ = _interp_weights(x, bound, Rl)
+    i1l = jnp.minimum(i0l + 1, Rl - 1)
+    fp = fp.astype(jnp.float32)
+    fl = fl.astype(jnp.float32)
+    feats = []
+    for m in range(3):
+        a, b = (m + 1) % 3, (m + 2) % 3
+        P = planes[m].reshape(R * R, K)
+        # flattened row ids -> ONE 1-D row gather per corner (XLA lowers
+        # multi-axis fancy indexing to a composite gather; this form stays
+        # a single contiguous-row gather)
+        r0, r1 = i0p[:, a] * R, i1p[:, a] * R
+        v00 = jnp.take(P, r0 + i0p[:, b], axis=0).astype(jnp.float32)
+        v01 = jnp.take(P, r0 + i1p[:, b], axis=0).astype(jnp.float32)
+        v10 = jnp.take(P, r1 + i0p[:, b], axis=0).astype(jnp.float32)
+        v11 = jnp.take(P, r1 + i1p[:, b], axis=0).astype(jnp.float32)
+        fa = fp[:, a : a + 1]
+        fb = fp[:, b : b + 1]
+        pf = ((v00 * (1 - fb) + v01 * fb) * (1 - fa)
+              + (v10 * (1 - fb) + v11 * fb) * fa)
+        l0 = jnp.take(lines[m], i0l[:, m], axis=0).astype(jnp.float32)
+        l1 = jnp.take(lines[m], i1l[:, m], axis=0).astype(jnp.float32)
+        lf = l0 * (1 - fl[:, m : m + 1]) + l1 * fl[:, m : m + 1]
+        feats.append(pf * lf)
+    return jnp.concatenate(feats, axis=-1)
+
+
 def vm_features_ref(planes: jax.Array, lines: jax.Array, x: jax.Array,
                     bound: float) -> jax.Array:
     """Gather-based bilinear reference implementation (oracle for tests)."""

@@ -22,6 +22,33 @@ def test_matmul_matches_gather_oracle():
                                rtol=1e-5, atol=1e-6)
 
 
+def test_gather_lookup_matches_onehot_values_and_grads():
+    """grid_lookup="gather" (the production training path) is the same
+    function as the one-hot contraction, including table gradients and the
+    multi-res ladder dispatch."""
+    lines = cpgrid.init_lines(jax.random.key(4), res=48, rank=8)
+    x = jax.random.uniform(jax.random.key(5), (640, 3), minval=-2.0,
+                           maxval=2.0)
+    a = cpgrid.line_features_gather(lines, x, bound=2.0)
+    b = cpgrid.line_features(lines, x, bound=2.0)
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                               rtol=1e-5, atol=1e-6)
+
+    def grads(fn):
+        return jax.grad(lambda l: jnp.sum(fn(l, x, 2.0) ** 2))(lines)
+
+    np.testing.assert_allclose(
+        np.asarray(grads(cpgrid.line_features_gather)),
+        np.asarray(grads(cpgrid.line_features)), rtol=1e-4, atol=1e-5)
+
+    ladder = cpgrid.init_lines_multi(jax.random.key(6), res=64, rank=8,
+                                     levels=2)
+    mg = cpgrid.line_features_multi(ladder, x, 2.0, lookup="gather")
+    mo = cpgrid.line_features_multi(ladder, x, 2.0, lookup="onehot")
+    np.testing.assert_allclose(np.asarray(mg), np.asarray(mo),
+                               rtol=1e-5, atol=1e-6)
+
+
 def test_boundary_points_and_grads():
     lines = cpgrid.init_lines(jax.random.key(0), res=16, rank=4)
     # exactly on the domain edges and grid nodes

@@ -34,6 +34,30 @@ def test_vm_mixed_line_res_matches_oracle():
                                rtol=1e-5, atol=1e-6)
 
 
+def test_vm_gather_matches_onehot_values_and_grads():
+    """The production training lookup (grid_lookup="gather") is the same
+    function as the one-hot contraction — values and table gradients."""
+    planes, lines = vmgrid.init_vm(jax.random.key(7), res=24, rank=5,
+                                   line_res=48)
+    x = jax.random.uniform(jax.random.key(8), (640, 3), minval=-2.0,
+                           maxval=2.0)
+    a = vmgrid.vm_features_gather(planes, lines, x, bound=2.0)
+    b = vmgrid.vm_features(planes, lines, x, bound=2.0)
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                               rtol=1e-5, atol=1e-6)
+
+    def loss(fn):
+        return jax.grad(
+            lambda p, l: jnp.sum(fn(p, l, x, 2.0) ** 2), argnums=(0, 1)
+        )(planes, lines)
+
+    ga = loss(vmgrid.vm_features_gather)
+    gb = loss(vmgrid.vm_features)
+    for u, v in zip(ga, gb):
+        np.testing.assert_allclose(np.asarray(u), np.asarray(v),
+                                   rtol=1e-4, atol=1e-5)
+
+
 def test_vm_boundary_points_and_grads():
     planes, lines = vmgrid.init_vm(jax.random.key(0), res=8, rank=3)
     x = jnp.array([[-2.0, -2.0, -2.0], [2.0, 2.0, 2.0], [0.0, 0.0, 0.0],
