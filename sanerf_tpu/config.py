@@ -125,13 +125,20 @@ class ModelConfig:
     # XLA path (the fused kernels don't consume planes).
     mlp_vm_rank: int = 0
     mlp_vm_res: int = 64
-    # XLA-path lookup primitive for the CP/VM tables: "gather" row-gathers
-    # the interpolation corners (6/point CP, 12/point VM — the only viable
-    # form at TensoRF-scale capacity, e.g. vm_res 256 x rank 32); "onehot"
-    # keeps the iota-compare matmul form (bit-identical math; what the
-    # fused inference kernels use in-VMEM, ops/fused_mlp_t.py). Training
-    # and XLA inference honor this; the cp_fused kernels are unaffected.
-    grid_lookup: str = "gather"
+    # XLA-path lookup primitive for the CP/VM tables ("auto" | "gather" |
+    # "onehot"; bit-identical math either way, parity-tested):
+    #   - "gather" row-gathers the interpolation corners (6/point CP,
+    #     12/point VM). 250x faster on CPU hosts; on TPU gathers serialize
+    #     at ~23 M rows/s (tools/probe_gather.py) so it only wins once the
+    #     one-hot contraction's 3*R*(R*K) MACs/point outgrow the MXU.
+    #   - "onehot" is the iota-compare matmul form (what the fused
+    #     inference kernels use in-VMEM, ops/fused_mlp_t.py) — near-free
+    #     on the MXU up to TensoRF scale, prohibitive on CPU.
+    #   - "auto" (default): gather on CPU; on TPU, onehot for CP lines
+    #     (R*K MACs/point is always MXU-cheap) and for VM planes up to
+    #     ~4M MACs/point (res 256 x rank 32), gather beyond.
+    # The cp_fused inference kernels are unaffected by this knob.
+    grid_lookup: str = "auto"
     mlp_prop_enc_freqs: int = 5
     mlp_prop_width: int = 64
     mlp_prop_depth: int = 4

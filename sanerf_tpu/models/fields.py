@@ -482,24 +482,39 @@ def position_features(model: NerfModel, params: Params, x: jax.Array,
           if alpha is not None else None)
     h = freq_encode(x * (jnp.pi / model.bound), model.cfg.mlp_enc_freqs,
                     out_dtype=dtype, band_weights=bw)
-    lookup = getattr(model.cfg, "grid_lookup", "gather")
+    lookup = getattr(model.cfg, "grid_lookup", "auto")
+    on_tpu = jax.default_backend() != "cpu"
     if model.cfg.mlp_cp_rank > 0:
+        # auto: CP's one-hot form costs only R*K MACs/point — on the MXU
+        # that is always cheaper than 6 serialized row gathers
+        cp_lookup = ("onehot" if on_tpu else "gather") \
+            if lookup == "auto" else lookup
         cl = params["cp_lines"]
         if isinstance(cl, (list, tuple)):
             cp = cpgrid.line_features_multi(
                 cl, x, model.bound,
                 level_weights=(cpgrid.anneal_level_weights(alpha, len(cl))
                                if alpha is not None else None),
-                lookup=lookup)
+                lookup=cp_lookup)
         else:
-            cp_fn = (cpgrid.line_features_gather if lookup == "gather"
+            cp_fn = (cpgrid.line_features_gather if cp_lookup == "gather"
                      else cpgrid.line_features)
             cp = cp_fn(cl, x, model.bound)
         h = jnp.concatenate([h, cp.astype(h.dtype)], axis=-1)
     if model.cfg.mlp_vm_rank > 0:
-        vm_fn = (vmgrid.vm_features_gather if lookup == "gather"
+        planes = params["vm_planes"]
+        if lookup == "auto":
+            # VM's one-hot row contraction costs R*(R*K) MACs/point/mode;
+            # keep it on the MXU up to ~4M MACs (res 256 x rank 32), where
+            # it still beats the TPU's ~23 M rows/s gather unit
+            R, K = planes.shape[1], planes.shape[3]
+            vm_lookup = ("onehot" if on_tpu and R * R * K <= 4 * 2 ** 20
+                         else "gather")
+        else:
+            vm_lookup = lookup
+        vm_fn = (vmgrid.vm_features_gather if vm_lookup == "gather"
                  else vmgrid.vm_features)
-        vm = vm_fn(params["vm_planes"], params["vm_lines"], x, model.bound)
+        vm = vm_fn(planes, params["vm_lines"], x, model.bound)
         h = jnp.concatenate([h, vm.astype(h.dtype)], axis=-1)
     return h
 

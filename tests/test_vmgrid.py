@@ -111,6 +111,29 @@ def test_plane_tv_gradient_matches_autodiff():
     assert contrib["vm_lines"].shape == params["vm_lines"].shape
 
 
+def test_grid_lookup_modes_agree_through_position_features():
+    """auto/gather/onehot are the same function at the model level (the
+    production dispatch point, fields.position_features)."""
+    rc = RenderConfig(num_steps=(8, 4), bound=4.0, contract=True)
+    base = ModelConfig(field_type="mlp", mlp_vm_rank=4, mlp_vm_res=12,
+                       mlp_cp_rank=6, mlp_cp_res=16, mlp_enc_freqs=3,
+                       mlp_field_width=16, mlp_field_depth=2,
+                       prop_resolutions=(16,))
+    x = jax.random.uniform(jax.random.key(9), (96, 3), minval=-3.0,
+                           maxval=3.0)
+    outs = []
+    params = None
+    for mode in ("auto", "gather", "onehot"):
+        mc = dataclasses.replace(base, grid_lookup=mode)
+        model = fields.make_model(mc, rc)
+        if params is None:
+            params = fields.init_params(model, jax.random.key(10))
+        outs.append(np.asarray(
+            fields.position_features(model, params, x)))
+    np.testing.assert_allclose(outs[0], outs[1], rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(outs[1], outs[2], rtol=1e-5, atol=1e-6)
+
+
 def test_vm_field_family_forward_and_train_step():
     rc = RenderConfig(num_steps=(8, 4), bound=4.0, contract=True)
     mc = ModelConfig(field_type="mlp", mlp_vm_rank=4, mlp_vm_res=8,
