@@ -146,6 +146,8 @@ def build_parser() -> argparse.ArgumentParser:
                    help="TensoRF-VM plane-grid per-mode rank for the mlp"
                         " family (0 = off)")
     p.add_argument("--vm_res", type=int, default=64)
+    p.add_argument("--vm_levels", type=int, default=1,
+                   help="multi-res VM ladder levels (rank splits across)")
     p.add_argument("--grid_lr_mult", type=float, default=10.0,
                    help="lr multiplier for CP/VM grid tables "
                         "(TensoRF's grid-vs-net split)")
@@ -184,7 +186,8 @@ def config_from_args(args) -> Config:
                             mlp_cp_res=args.cp_res,
                             mlp_cp_levels=args.cp_levels,
                             mlp_vm_rank=args.vm_rank,
-                            mlp_vm_res=args.vm_res)
+                            mlp_vm_res=args.vm_res,
+                            mlp_vm_levels=args.vm_levels)
     # the MLP field family trains best with a gentler schedule than the
     # hash-grid recipe's lr=1e-2 (which diverges on deep 8x256 MLPs); scale
     # the default unless the user overrode --lr

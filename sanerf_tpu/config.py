@@ -125,6 +125,12 @@ class ModelConfig:
     # XLA path (the fused kernels don't consume planes).
     mlp_vm_rank: int = 0
     mlp_vm_res: int = 64
+    # >1 splits the VM rank over a coarse-to-fine resolution ladder ending
+    # at mlp_vm_res (same structure as mlp_cp_levels; total feature count
+    # stays 3 * mlp_vm_rank). Requires mlp_vm_rank % mlp_vm_levels == 0.
+    # Multi-level VM renders through the XLA path (the in-kernel _vm_block
+    # consumes a single level).
+    mlp_vm_levels: int = 1
     # XLA-path lookup primitive for the CP/VM tables ("auto" | "gather" |
     # "onehot"; bit-identical math either way, parity-tested):
     #   - "gather" row-gathers the interpolation corners (6/point CP,

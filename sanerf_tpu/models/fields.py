@@ -349,8 +349,12 @@ def init_params(model: NerfModel, key: jax.Array) -> Params:
                 cpgrid.init_lines_multi(next(keys), c.mlp_cp_res,
                                         c.mlp_cp_rank, c.mlp_cp_levels))
         if c.mlp_vm_rank > 0:
-            params["vm_planes"], params["vm_lines"] = vmgrid.init_vm(
-                next(keys), c.mlp_vm_res, c.mlp_vm_rank)
+            if getattr(c, "mlp_vm_levels", 1) == 1:
+                params["vm_planes"], params["vm_lines"] = vmgrid.init_vm(
+                    next(keys), c.mlp_vm_res, c.mlp_vm_rank)
+            else:
+                params["vm_planes"], params["vm_lines"] = vmgrid.init_vm_multi(
+                    next(keys), c.mlp_vm_res, c.mlp_vm_rank, c.mlp_vm_levels)
         if c.with_sam:
             params["s_field_mlp"] = init_mlp(
                 next(keys), model.grid_out_dim, model.s_feat_dim,
@@ -503,18 +507,26 @@ def position_features(model: NerfModel, params: Params, x: jax.Array,
         h = jnp.concatenate([h, cp.astype(h.dtype)], axis=-1)
     if model.cfg.mlp_vm_rank > 0:
         planes = params["vm_planes"]
+        top = planes[-1] if isinstance(planes, (list, tuple)) else planes
         if lookup == "auto":
             # VM's one-hot row contraction costs R*(R*K) MACs/point/mode;
             # keep it on the MXU up to ~4M MACs (res 256 x rank 32), where
             # it still beats the TPU's ~23 M rows/s gather unit
-            R, K = planes.shape[1], planes.shape[3]
+            R, K = top.shape[1], top.shape[3]
             vm_lookup = ("onehot" if on_tpu and R * R * K <= 4 * 2 ** 20
                          else "gather")
         else:
             vm_lookup = lookup
-        vm_fn = (vmgrid.vm_features_gather if vm_lookup == "gather"
-                 else vmgrid.vm_features)
-        vm = vm_fn(planes, params["vm_lines"], x, model.bound)
+        if isinstance(planes, (list, tuple)):
+            vm = vmgrid.vm_features_multi(
+                planes, params["vm_lines"], x, model.bound,
+                level_weights=(cpgrid.anneal_level_weights(alpha, len(planes))
+                               if alpha is not None else None),
+                lookup=vm_lookup)
+        else:
+            vm_fn = (vmgrid.vm_features_gather if vm_lookup == "gather"
+                     else vmgrid.vm_features)
+            vm = vm_fn(planes, params["vm_lines"], x, model.bound)
         h = jnp.concatenate([h, vm.astype(h.dtype)], axis=-1)
     return h
 
@@ -699,10 +711,15 @@ def apply_total_variation(
                 if isinstance(cl, (list, tuple)) else
                 cpgrid.grad_total_variation(cl, weight))
         if c.mlp_vm_rank > 0 and "vm_planes" in params:
-            g["vm_planes"] = vmgrid.grad_total_variation_planes(
-                params["vm_planes"], weight)
-            g["vm_lines"] = cpgrid.grad_total_variation(
-                params["vm_lines"], weight)
+            vp, vl = params["vm_planes"], params["vm_lines"]
+            if isinstance(vp, (list, tuple)):
+                g["vm_planes"] = [
+                    vmgrid.grad_total_variation_planes(p, weight) for p in vp]
+                g["vm_lines"] = [
+                    cpgrid.grad_total_variation(l, weight) for l in vl]
+            else:
+                g["vm_planes"] = vmgrid.grad_total_variation_planes(vp, weight)
+                g["vm_lines"] = cpgrid.grad_total_variation(vl, weight)
         return g  # no tables otherwise; the band-limited encoding is smooth
     if c.with_sam:
         return {"s_grid": hashgrid.grad_total_variation(x01, params["s_grid"], model.s_grid_spec, weight)}

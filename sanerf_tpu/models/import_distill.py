@@ -56,7 +56,7 @@ _LOGIT_CLIP = 30.0  # pre-activation guard against exp overflow
 
 def student_config(teacher_cfg: ModelConfig, cp_rank: int = 0,
                    cp_res: int = 256, cp_levels: int = 1, vm_rank: int = 0,
-                   vm_res: int = 64) -> ModelConfig:
+                   vm_res: int = 64, vm_levels: int = 1) -> ModelConfig:
     """The MLP-family twin of a hash-grid config: same heads, same feature
     dims, field_type flipped. `cp_rank > 0` gives the student a
     CP-factorized line grid (ops/cpgrid.py), `vm_rank > 0` a TensoRF-VM
@@ -74,6 +74,7 @@ def student_config(teacher_cfg: ModelConfig, cp_rank: int = 0,
         mlp_cp_levels=cp_levels,
         mlp_vm_rank=vm_rank,
         mlp_vm_res=vm_res,
+        mlp_vm_levels=vm_levels,
         mlp_sam_feat_dim=(teacher_cfg.s_grid_num_levels
                           * teacher_cfg.s_grid_level_dim),
         mlp_mask_feat_dim=mask_dim,

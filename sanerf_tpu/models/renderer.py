@@ -106,7 +106,8 @@ def run_rays(
     fast = (model.is_mlp_field and not training and not save_inter
             and cfg.use_fused_mlp
             and (mc.mlp_cp_rank == 0 or cfg.cp_fused)
-            and (mc.mlp_vm_rank == 0 or cfg.cp_fused))
+            and (mc.mlp_vm_rank == 0
+                 or (cfg.cp_fused and mc.mlp_vm_levels == 1)))
     fast_comp = fast and not mc.sum_after_mlp and not return_mask
     # pure-RGB frames additionally fuse the final-level composite into the
     # field kernel's epilogue (fields.field_composite_T)

@@ -36,6 +36,8 @@ from typing import Tuple
 import jax
 import jax.numpy as jnp
 
+from sanerf_tpu.ops import cpgrid
+
 
 def init_vm(key: jax.Array, res: int, rank: int, line_res: int | None = None,
             scale: float = 0.2) -> Tuple[jax.Array, jax.Array]:
@@ -48,6 +50,34 @@ def init_vm(key: jax.Array, res: int, rank: int, line_res: int | None = None,
     planes = scale * jax.random.normal(kp, (3, res, res, rank), jnp.float32)
     lines = scale * jax.random.normal(kl, (3, line_res, rank), jnp.float32)
     return planes, lines
+
+
+def init_vm_multi(key: jax.Array, res: int, rank: int, levels: int,
+                  scale: float = 0.2):
+    """Coarse-to-fine VM ladder: rank splits across a geometric resolution
+    ladder ending at `res` (cpgrid.level_resolutions — the hash grid's
+    multiresolution structure applied to planes). Returns (planes_list,
+    lines_list), each a list of per-level tables coarse -> fine; total
+    feature count stays 3 * rank, so a multi-res swap is capacity-
+    comparable with a single-level grid of the same rank."""
+    assert rank % levels == 0, (rank, levels)
+    keys = jax.random.split(key, levels)
+    pairs = [init_vm(k, r, rank // levels, scale=scale)
+             for k, r in zip(keys, cpgrid.level_resolutions(res, levels))]
+    return [p for p, _ in pairs], [l for _, l in pairs]
+
+
+def vm_features_multi(planes_list, lines_list, x: jax.Array, bound: float,
+                      level_weights=None, lookup: str = "gather") -> jax.Array:
+    """Concatenated per-level VM features (coarse -> fine),
+    [N, 3 * sum K_i]. `level_weights` ([L] scalars, optional) gates levels
+    coarse-to-fine during annealed training (cpgrid.anneal_level_weights);
+    None = all on. `lookup` picks the per-level primitive."""
+    fn = vm_features_gather if lookup == "gather" else vm_features
+    feats = [fn(p, l, x, bound) for p, l in zip(planes_list, lines_list)]
+    if level_weights is not None:
+        feats = [f * level_weights[i] for i, f in enumerate(feats)]
+    return jnp.concatenate(feats, axis=-1)
 
 
 def _interp_weights(x: jax.Array, bound: float, R: int):

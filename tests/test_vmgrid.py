@@ -111,6 +111,71 @@ def test_plane_tv_gradient_matches_autodiff():
     assert contrib["vm_lines"].shape == params["vm_lines"].shape
 
 
+def test_vm_multi_level_matches_per_level_concat():
+    from sanerf_tpu.ops import cpgrid
+
+    planes, lines = vmgrid.init_vm_multi(jax.random.key(11), res=32, rank=8,
+                                         levels=2)
+    assert [p.shape[1] for p in planes] == [16, 32]
+    assert all(p.shape[3] == 4 for p in planes)
+    x = jax.random.uniform(jax.random.key(12), (128, 3), minval=-2.0,
+                           maxval=2.0)
+    got = vmgrid.vm_features_multi(planes, lines, x, bound=2.0)
+    want = jnp.concatenate(
+        [vmgrid.vm_features_ref(p, l, x, 2.0) for p, l in zip(planes, lines)],
+        axis=-1)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=1e-5, atol=1e-6)
+    # annealing gates the fine level off at alpha ~ 0
+    w = cpgrid.anneal_level_weights(jnp.asarray(0.05), 2)
+    gated = vmgrid.vm_features_multi(planes, lines, x, 2.0, level_weights=w)
+    assert np.allclose(np.asarray(gated[:, 12:]), 0.0)  # fine level closed
+    np.testing.assert_allclose(np.asarray(gated[:, :12]),
+                               np.asarray(want[:, :12]), rtol=1e-5, atol=1e-6)
+
+
+def test_vm_multi_level_field_family_end_to_end():
+    """Multi-level VM through the model: init shapes, forward, TV
+    contribution on list params, and a real train step (grid_lr_mult's
+    masked scale must mirror the list structure)."""
+    from sanerf_tpu.train import state as state_lib
+
+    rc = RenderConfig(num_steps=(8, 4), bound=4.0, contract=True)
+    mc = ModelConfig(field_type="mlp", mlp_vm_rank=4, mlp_vm_res=16,
+                     mlp_vm_levels=2, mlp_enc_freqs=3, mlp_field_width=16,
+                     mlp_field_depth=2, mlp_prop_enc_freqs=3,
+                     mlp_prop_width=16, mlp_prop_depth=2,
+                     prop_resolutions=(16,))
+    model = fields.make_model(mc, rc)
+    params = fields.init_params(model, jax.random.key(13))
+    assert isinstance(params["vm_planes"], list)
+    assert [p.shape[1] for p in params["vm_planes"]] == [16, 16]  # min_res=16
+    contrib = fields.apply_total_variation(model, params,
+                                           jnp.zeros((8, 3)), 0.1)
+    assert isinstance(contrib["vm_planes"], list)
+    assert [g.shape for g in contrib["vm_planes"]] == \
+        [p.shape for p in params["vm_planes"]]
+
+    o = jnp.zeros((32, 3)) + jnp.array([0.0, 0.0, 2.0])
+    d = jnp.tile(jnp.array([[0.0, 0.0, -1.0]]), (32, 1))
+    out = renderer.run_rays(model, params, o, d)
+    assert np.isfinite(np.asarray(out["image"])).all()
+
+    tc = TrainConfig(iters=4, num_rays=32, adaptive_num_rays=False,
+                     lambda_tv=1e-3, grid_lr_mult=10.0,
+                     use_native_loader=False)
+    st = state_lib.create_train_state(model, tc, jax.random.key(14),
+                                      params=params)
+    step = state_lib.make_rgb_train_step(model, tc)
+    batch = {"rays_o": o, "rays_d": d,
+             "images": jnp.zeros((32, 3)) + 0.5}
+    before = [np.asarray(p).copy() for p in st.params["vm_planes"]]
+    st, aux = step(st, batch, jax.random.key(15))
+    after = [np.asarray(p) for p in st.params["vm_planes"]]
+    assert np.isfinite(float(aux["loss"]))
+    assert all(not np.allclose(b, a) for b, a in zip(before, after))
+
+
 def test_grid_lookup_modes_agree_through_position_features():
     """auto/gather/onehot are the same function at the model level (the
     production dispatch point, fields.position_features)."""

@@ -57,6 +57,7 @@ def main(argv=None):
                     help="give the student a TensoRF-VM plane grid of "
                          "this per-mode rank (XLA-path rendering)")
     ap.add_argument("--vm_res", type=int, default=64)
+    ap.add_argument("--vm_levels", type=int, default=1)
     ap.add_argument("--render_check", type=int, default=2,
                     help="orbit frames for the fidelity PSNR (0 = skip)")
     ap.add_argument("--keep_hashgrid", action="store_true",
@@ -95,7 +96,8 @@ def main(argv=None):
         student = fields.make_model(import_distill.student_config(
             tc, cp_rank=args.cp_rank, cp_res=args.cp_res,
             cp_levels=args.cp_levels,
-            vm_rank=args.vm_rank, vm_res=args.vm_res), rc)
+            vm_rank=args.vm_rank, vm_res=args.vm_res,
+            vm_levels=args.vm_levels), rc)
     student_model, sparams, report = import_distill.distill_to_mlp(
         teacher, tparams, key=jax.random.key(0),
         n_points=args.n_points, batch=args.batch, iters=args.iters,

@@ -55,7 +55,8 @@ def run_family(field_type: str, args, mlp_width: int | None = None) -> dict:
                                  mlp_cp_levels=args.cp_levels)
     if field_type == "mlp" and args.vm_rank:
         mc = dataclasses.replace(mc, mlp_vm_rank=args.vm_rank,
-                                 mlp_vm_res=args.vm_res)
+                                 mlp_vm_res=args.vm_res,
+                                 mlp_vm_levels=args.vm_levels)
     tc = TrainConfig(iters=args.iters, num_rays=args.num_rays,
                      adaptive_num_rays=False, lambda_distort=args.distort,
                      lambda_tv=args.tv, grid_lr_mult=args.grid_lr_mult,
@@ -125,6 +126,8 @@ def main(argv=None):
                     help="VM plane-grid per-mode rank for the mlp family "
                          "(0 = off)")
     ap.add_argument("--vm_res", type=int, default=64)
+    ap.add_argument("--vm_levels", type=int, default=1,
+                    help="multi-res VM ladder levels (rank splits across)")
     ap.add_argument("--grid_lr_mult", type=float, default=10.0,
                     help="lr multiplier for CP/VM grid tables")
     ap.add_argument("--tv", type=float, default=0.0,
