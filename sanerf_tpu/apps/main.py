@@ -137,6 +137,9 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--mlp_width", type=int, default=None,
                    help="MLP-family field width (default: the quality-gated"
                         " ModelConfig value)")
+    p.add_argument("--mlp_depth", type=int, default=None,
+                   help="MLP-family field depth (TensoRF pairs big grids"
+                        " with a shallow 2-layer decoder)")
     p.add_argument("--cp_rank", type=int, default=0,
                    help="CP line-grid rank for the mlp family (0 = off)")
     p.add_argument("--cp_res", type=int, default=256)
@@ -180,6 +183,9 @@ def config_from_args(args) -> Config:
     if args.mlp_width is not None:
         import dataclasses as _dc
         model = _dc.replace(model, mlp_field_width=args.mlp_width)
+    if args.mlp_depth is not None:
+        import dataclasses as _dc
+        model = _dc.replace(model, mlp_field_depth=args.mlp_depth)
     if args.cp_rank or args.vm_rank:
         import dataclasses as _dc
         model = _dc.replace(model, mlp_cp_rank=args.cp_rank,

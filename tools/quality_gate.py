@@ -49,6 +49,10 @@ def run_family(field_type: str, args, mlp_width: int | None = None) -> dict:
                      prop_resolutions=(128, 256))
     if mlp_width is not None:
         mc = dataclasses.replace(mc, mlp_field_width=mlp_width)
+    if args.mlp_depth is not None and field_type == "mlp":
+        # TensoRF pairs big grids with a SHALLOW decoder (2-layer) — the
+        # 8-layer chain is the pure-Fourier flagship's; gate both.
+        mc = dataclasses.replace(mc, mlp_field_depth=args.mlp_depth)
     if field_type == "mlp" and args.cp_rank:
         mc = dataclasses.replace(mc, mlp_cp_rank=args.cp_rank,
                                  mlp_cp_res=args.cp_res,
@@ -65,6 +69,8 @@ def run_family(field_type: str, args, mlp_width: int | None = None) -> dict:
                      use_native_loader=not args.no_native)
     cfg = Config(workspace=f"{args.workspace}/{field_type}"
                  + (f"_w{mlp_width}" if mlp_width else "")
+                 + (f"_d{args.mlp_depth}" if field_type == "mlp"
+                    and args.mlp_depth is not None else "")
                  + (f"_cp{args.cp_rank}" if field_type == "mlp"
                     and args.cp_rank else "")
                  + (f"_vm{args.vm_rank}" if field_type == "mlp"
@@ -117,6 +123,8 @@ def main(argv=None):
     ap.add_argument("--num_steps", type=int, nargs="+", default=[128, 64, 32])
     ap.add_argument("--families", nargs="+", default=["mlp", "hashgrid"])
     ap.add_argument("--mlp_width", type=int, default=None)
+    ap.add_argument("--mlp_depth", type=int, default=None,
+                    help="field MLP depth override (mlp family)")
     ap.add_argument("--cp_rank", type=int, default=0,
                     help="CP line-grid rank for the mlp family (0 = off)")
     ap.add_argument("--cp_res", type=int, default=256)
