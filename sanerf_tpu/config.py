@@ -44,6 +44,11 @@ class RenderConfig:
     # tests/test_vmgrid.py); default off until the kernels get a hardware
     # Mosaic compile check (TPU-relay outage blocked it)
     cp_fused: bool = False
+    # point-axis block sizes for the fused transposed kernels (rounded to
+    # a multiple of T in-kernel). Tuned at T=32; exposed so the T=24
+    # primary hierarchy can re-tune on hardware (tools/ab_flags.py).
+    fused_block: int = 4096
+    fused_prop_block: int = 16384
     # do the [3, N, T] -> [3, N*T] pivot between the ray-geometry kernels
     # and the fused MLP kernels in a VMEM Pallas kernel
     # (ops/ray_kernels.flatten3_nt) instead of XLA's windowed-loop reshape

@@ -603,7 +603,8 @@ def field_forward_T(model: NerfModel, params: Params, x, transposed: bool):
 
     return run_tmlp(
         x, params["grid_mlp"], model.cfg.mlp_enc_freqs, model.bound,
-        (model.cfg.mlp_field_depth // 2,), leaky=True, block=4096,
+        (model.cfg.mlp_field_depth // 2,), leaky=True,
+        block=model.render_cfg.fused_block,
         transposed=transposed, cp_lines=params.get("cp_lines"),
         vm_planes=params.get("vm_planes"), vm_lines=params.get("vm_lines"),
     )
@@ -624,7 +625,7 @@ def field_composite_T(model: NerfModel, params: Params, xT, dl, ts,
     return run_tmlp_composite(
         xT, dl, ts, params["grid_mlp"], model.cfg.mlp_enc_freqs, model.bound,
         (model.cfg.mlp_field_depth // 2,), leaky=True, opaque=opaque,
-        block=4096,
+        block=model.render_cfg.fused_block,
         rays8=rays8 if with_view else None,
         view_layers=params["view_mlp"] if with_view else None,
         sh_degree=model.cfg.sh_degree,
@@ -646,7 +647,7 @@ def density(model: NerfModel, params: Params, x: jax.Array, proposal: int = -1,
 
             fT = run_tmlp(x if x_T is None else x_T, p["mlp"],
                           model.cfg.mlp_prop_enc_freqs, model.bound, (),
-                          leaky=False, block=16384,
+                          leaky=False, block=model.render_cfg.fused_prop_block,
                           transposed=x_T is not None)
             return density_activation(model, fT[0])
         if model.is_mlp_field:

@@ -29,6 +29,11 @@ COMBOS = [
     ("cp96+vm16_fused", {"cp_fused": True, "packed_epilogue": True},
      {"mlp_cp_rank": 96, "mlp_cp_res": 256, "mlp_vm_rank": 16,
       "mlp_vm_res": 64}),
+    # T=24 block retune (the 4096/16384 defaults were tuned at T=32)
+    ("block2048", {"fused_block": 2048}, {}),
+    ("block8192", {"fused_block": 8192}, {}),
+    ("propblock8192", {"fused_prop_block": 8192}, {}),
+    ("propblock32768", {"fused_prop_block": 32768}, {}),
 ]
 
 
