@@ -29,6 +29,8 @@ import numpy as np
 
 import jax
 import jax.numpy as jnp
+from jax import shard_map
+from jax.sharding import Mesh, PartitionSpec as P
 
 from sanerf_tpu.data.rays import full_frame_rays
 from sanerf_tpu.models import renderer
@@ -61,10 +63,37 @@ def project_points_device(points3d, active, pose, intr, depth, H, W):
     return jnp.stack([x, y], axis=-1), valid
 
 
+@functools.lru_cache(maxsize=None)
+def _shard_render(model: NerfModel, mesh: Mesh, axis: str,
+                  return_feats: bool, perturb: bool):
+    """shard_map'd `run_rays` for the interactive frame: rays split over
+    the mesh's chips (the scaling-book recipe — annotate the batch axis,
+    let the compiler keep everything else local), params/aabb/bg
+    replicated, per-ray outputs concatenated back on the ray axis. The
+    stratified-jitter key is folded with the chip index so sharded spp
+    frames stay decorrelated across shards."""
+
+    def fn(params, ro, rd, key, bg, aabb):
+        k = jax.random.fold_in(key, jax.lax.axis_index(axis)) \
+            if perturb else None
+        out = renderer.run_rays(model, params, ro, rd, k, perturb=perturb,
+                                bg_color=bg, aabb=aabb,
+                                return_feats=return_feats)
+        keep = ("samvit",) if return_feats else ("image", "depth")
+        return {n: out[n] for n in keep}
+
+    out_spec = {n: P(axis)
+                for n in (("samvit",) if return_feats else ("image", "depth"))}
+    return shard_map(
+        fn, mesh=mesh,
+        in_specs=(P(), P(axis), P(axis), P(), P(), P()),
+        out_specs=out_spec, check_vma=False)
+
+
 @functools.partial(
     jax.jit,
     static_argnames=("model", "sam_cfg", "hw", "feat_hw", "input_hw",
-                     "mode", "perturb", "with_overlay"),
+                     "mode", "perturb", "with_overlay", "mesh", "mesh_axis"),
     donate_argnames=("acc",),
 )
 def _frame_program(
@@ -87,14 +116,29 @@ def _frame_program(
     mode: str,             # 'image' | 'depth'
     perturb: bool,
     with_overlay: bool,
+    mesh: Optional[Mesh] = None,
+    mesh_axis: str = "data",
 ):
     H, W = hw
     rays_o, rays_d = full_frame_rays(pose, intr, H, W)
-    out = renderer.run_rays(
-        model, params, rays_o, rays_d, key if perturb else None,
-        perturb=perturb, bg_color=bg_color, aabb=aabb)
-    img = out["image"].reshape(H, W, 3)
-    depth = out["depth"].reshape(H, W)
+    if mesh is None:
+        out = renderer.run_rays(
+            model, params, rays_o, rays_d, key if perturb else None,
+            perturb=perturb, bg_color=bg_color, aabb=aabb)
+        img, depth = out["image"], out["depth"]
+    else:
+        # multi-chip interactive rendering: the frame's rays shard over
+        # the mesh inside this one program; everything downstream (spp,
+        # reprojection, SAM decode, overlays) stays in the same jit and
+        # GSPMD keeps it row-sharded
+        out = _shard_render(model, mesh, mesh_axis, False, perturb)(
+            params, rays_o, rays_d,
+            key if key is not None else jax.random.key(0),
+            jnp.asarray(bg_color, jnp.float32),
+            aabb if aabb is not None else renderer.default_aabb(model))
+        img, depth = out["image"], out["depth"]
+    img = img.reshape(H, W, 3)
+    depth = depth.reshape(H, W)
 
     # spp accumulation on-device (gui.py:185-190): acc holds the SUM of raw
     # frames; spp==0 restarts without uploading a zero buffer
@@ -114,8 +158,14 @@ def _frame_program(
         intr_lr = jnp.asarray(
             [intr[0] * h / H, intr[1] * w / W, w / 2.0, h / 2.0], jnp.float32)
         ro_lr, rd_lr = full_frame_rays(pose, intr_lr, h, w)
-        feat = renderer.run_rays(model, params, ro_lr, rd_lr,
-                                 return_feats=True, aabb=aabb)
+        if mesh is None:
+            feat = renderer.run_rays(model, params, ro_lr, rd_lr,
+                                     return_feats=True, aabb=aabb)
+        else:
+            feat = _shard_render(model, mesh, mesh_axis, True, False)(
+                params, ro_lr, rd_lr, jax.random.key(0),
+                jnp.asarray(1.0, jnp.float32),
+                aabb if aabb is not None else renderer.default_aabb(model))
         fv = feat["samvit"].reshape(h, w, -1)
         labels = jnp.where(valid, 1, -1).astype(jnp.int32)[None]  # [1, K]
         masks, _iou = decode_fused(
@@ -164,13 +214,22 @@ class FramePipeline:
     """
 
     def __init__(self, model, params, sam_cfg, sam_params, H, W, h=32, w=32,
-                 max_points: int = 8, overlay: bool = True):
+                 max_points: int = 8, overlay: bool = True,
+                 mesh: Optional[Mesh] = None, mesh_axis: str = "data"):
         self.model = model
         self.params = params
         self.sam_cfg = sam_cfg
         self.sam_params = sam_params
         self.hw = (H, W)
         self.feat_hw = (h, w)
+        if mesh is not None:
+            n = int(mesh.devices.size)
+            if H * W % n or h * w % n:
+                raise ValueError(
+                    f"frame {H}x{W} / feature {h}x{w} ray counts must divide "
+                    f"the {n}-device mesh")
+        self.mesh = mesh
+        self.mesh_axis = mesh_axis
         grid = 64 if sam_cfg is None else sam_cfg.prompt.image_embedding_size[0]
         scale = grid / max(h, w)
         self.input_hw = (int(round(h * scale)) * 16, int(round(w * scale)) * 16)
@@ -200,6 +259,7 @@ class FramePipeline:
             self._acc, spp, key,
             hw=self.hw, feat_hw=self.feat_hw, input_hw=self.input_hw,
             mode=mode, perturb=perturb, with_overlay=self.overlay,
+            mesh=self.mesh, mesh_axis=self.mesh_axis,
         )
         return u8, depth, mask, pts2d, valid
 

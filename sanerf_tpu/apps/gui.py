@@ -162,6 +162,7 @@ def launch_gui(cfg: Config, trainer, sam_predictor=None, train_dataset=None):
     session = InteractiveSession(
         cfg, trainer.model, trainer.eval_params(), sam_predictor,
         H=512, W=512,
+        mesh=trainer.mesh,  # --n_devices > 1: frames render ray-sharded
     )
     try:
         import dearpygui.dearpygui as dpg  # noqa: F401

@@ -46,11 +46,12 @@ class FrameResult:
 
 class InteractiveSession:
     def __init__(self, cfg: Config, model: NerfModel, params: Params,
-                 sam_predictor=None, H: int = 512, W: int = 512):
+                 sam_predictor=None, H: int = 512, W: int = 512, mesh=None):
         self.cfg = cfg
         self.model = model
         self.params = params
         self.sam = sam_predictor
+        self.mesh = mesh  # optional jax.sharding.Mesh: frames render sharded
         self.H, self.W = H, W
         # low-res feature map size: 64 per 1024 of render res (utils.py:1094)
         self.h = max(4, int(H / 1024 * 64))
@@ -70,7 +71,7 @@ class InteractiveSession:
             sam_cfg = None if self.sam is None else self.sam.cfg
             sam_params = None if self.sam is None else self.sam.params
             pipe = FramePipeline(self.model, self.params, sam_cfg, sam_params,
-                                 Hs, Ws, self.h, self.w)
+                                 Hs, Ws, self.h, self.w, mesh=self.mesh)
             self._pipes[(Hs, Ws)] = pipe
         pipe.params = self.params  # live-training updates flow through
         return pipe

@@ -27,7 +27,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 from jax.sharding import Mesh, PartitionSpec as P
-from jax.experimental.shard_map import shard_map
+from jax import shard_map
 
 from sanerf_tpu.config import TrainConfig
 from sanerf_tpu.models.fields import NerfModel, Params
@@ -85,7 +85,7 @@ def make_dp_train_step(
             body, mesh=mesh,
             in_specs=(P(), spec, P()),
             out_specs=(P(), P()),
-            check_rep=False,
+            check_vma=False,
         )
         return jax.jit(mapped, donate_argnums=(0,))
 
@@ -143,7 +143,7 @@ def make_dp_sam_train_step(
         body, mesh=mesh,
         in_specs=(P(), spec, P(), P()),
         out_specs=(P(), P()),
-        check_rep=False,
+        check_vma=False,
     )
     return jax.jit(mapped, donate_argnums=(0,))
 
@@ -181,7 +181,7 @@ def make_dp_mask_train_step(
             body, mesh=mesh,
             in_specs=(P(), spec, P()),
             out_specs=(P(), aux_spec),
-            check_rep=False,
+            check_vma=False,
         )
         return jax.jit(mapped, donate_argnums=(0,))
 
@@ -265,7 +265,7 @@ def make_dp_render(model: NerfModel, mesh: Mesh, axis: str = "data",
 
     mapped = shard_map(
         shard_fn, mesh=mesh, in_specs=in_specs, out_specs=out_spec,
-        check_rep=False,
+        check_vma=False,
     )
     return jax.jit(mapped)
 

@@ -86,7 +86,7 @@ def test_dp_grad_equivalence(rng):
     g_full = jax.grad(loss_single)(params)
 
     from jax.sharding import PartitionSpec as P
-    from jax.experimental.shard_map import shard_map
+    from jax import shard_map
 
     def shard_grads(params, batch):
         def loss_fn(p):
@@ -97,7 +97,7 @@ def test_dp_grad_equivalence(rng):
 
     spec = dp.batch_pspec(dev)
     g_dp = jax.jit(shard_map(shard_grads, mesh=mesh, in_specs=(P(), spec),
-                             out_specs=P(), check_rep=False))(params, dev)
+                             out_specs=P(), check_vma=False))(params, dev)
     for a, b in zip(jax.tree.leaves(g_full), jax.tree.leaves(g_dp)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=2e-3, atol=2e-5)
 
@@ -146,7 +146,7 @@ def test_dp_sam_step_matches_single(rng):
     g_full = jax.grad(loss_single)(params, ro, rd)
 
     from jax.sharding import PartitionSpec as P
-    from jax.experimental.shard_map import shard_map
+    from jax import shard_map
 
     def shard_grads(params, ro, rd):
         def loss_fn(p):
@@ -161,7 +161,7 @@ def test_dp_sam_step_matches_single(rng):
 
     g_dp = jax.jit(shard_map(
         shard_grads, mesh=mesh, in_specs=(P(), P("data"), P("data")),
-        out_specs=P(), check_rep=False))(params, ro, rd)
+        out_specs=P(), check_vma=False))(params, ro, rd)
     for a, b in zip(jax.tree.leaves(g_full), jax.tree.leaves(g_dp)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=2e-3, atol=2e-5)
@@ -227,7 +227,7 @@ def test_dp_mask_step_matches_single(rng):
     g_full = jax.grad(mask_loss)(params, dev, N)
 
     from jax.sharding import PartitionSpec as P
-    from jax.experimental.shard_map import shard_map
+    from jax import shard_map
 
     def shard_grads(params, b):
         return jax.lax.pmean(
@@ -235,7 +235,7 @@ def test_dp_mask_step_matches_single(rng):
 
     spec = dp.batch_pspec(dev)
     g_dp = jax.jit(shard_map(shard_grads, mesh=mesh, in_specs=(P(), spec),
-                             out_specs=P(), check_rep=False))(params, dev)
+                             out_specs=P(), check_vma=False))(params, dev)
     for a, b in zip(jax.tree.leaves(g_full), jax.tree.leaves(g_dp)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=2e-3, atol=2e-5)
@@ -370,3 +370,44 @@ def test_trainer_dp_matches_single_device_loss(tmp_path):
         final[n_dev] = tr.evaluate_one_epoch(ds, save_artifacts=False)["PSNRMeter"]
     assert np.isfinite(final[1]) and np.isfinite(final[8])
     assert abs(final[1] - final[8]) < 3.0, final
+
+
+def test_frame_pipeline_sharded_matches_single():
+    """The INTERACTIVE path scales over the mesh: FramePipeline(mesh=...)
+    renders the whole one-dispatch frame program (RGB + feature render +
+    SAM decode + overlays) with rays sharded over the 8 virtual chips, and
+    the pixels match the single-device program."""
+    from sanerf_tpu.apps.frame_pipeline import FramePipeline
+    from sanerf_tpu.models.sam import predictor as sam_predictor_mod
+    from tests.test_sam import TINY_SAM
+
+    mc = dataclasses.replace(
+        MC, with_sam=True, sam_use_view_direction=True, sam_feat_dim=32)
+    model = fields.make_model(mc, RC)
+    params = fields.init_params(model, jax.random.key(0))
+    sam_params = sam_predictor_mod.init_params(TINY_SAM, jax.random.key(1))
+
+    H = W = 16   # 256 rays / 8 chips; feature map 8x8
+    h = w = 8
+    f = 0.5 * H
+    intr = np.asarray([f, f, W / 2, H / 2], np.float32)
+    pose = np.array([[1, 0, 0, 0], [0, 1, 0, 0],
+                     [0, 0, 1, 2.0], [0, 0, 0, 1]], np.float32)
+
+    pipe1 = FramePipeline(model, params, TINY_SAM, sam_params, H, W, h, w)
+    pipe8 = FramePipeline(model, params, TINY_SAM, sam_params, H, W, h, w,
+                          mesh=dp.make_mesh())
+    p3, act = pipe1.pad_points([[0.0, 0.0, 0.0]])
+    img1, depth1, mask1, pts1, valid1 = pipe1.render_sync(pose, intr, p3, act)
+    img8, depth8, mask8, pts8, valid8 = pipe8.render_sync(pose, intr, p3, act)
+    # u8 pixels: identical math up to f32 reassociation under GSPMD -> <=1 LSB
+    assert np.max(np.abs(img1.astype(np.int32) - img8.astype(np.int32))) <= 1
+    np.testing.assert_allclose(np.asarray(depth1), np.asarray(depth8),
+                               rtol=1e-4, atol=1e-4)
+    np.testing.assert_array_equal(np.asarray(valid1), np.asarray(valid8))
+    assert pipe8.dispatch_count == 1  # still ONE program per frame
+
+    # ray counts that don't divide the mesh are rejected up front
+    import pytest
+    with pytest.raises(ValueError):
+        FramePipeline(model, params, None, None, 15, 15, mesh=dp.make_mesh())
