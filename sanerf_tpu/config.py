@@ -223,6 +223,9 @@ class TrainConfig:
     # loss weights (main.py:100-109)
     lambda_entropy: float = 0.0
     lambda_tv: float = 0.0
+    # L1 sparsity on the factorized CP/VM tables (TensoRF §5.1 — suppress
+    # spurious mass in free space; mlp family only)
+    lambda_l1_grid: float = 0.0
     lambda_wd: float = 0.0
     lambda_proposal: float = 1.0
     lambda_distort: float = 0.02

@@ -729,6 +729,34 @@ def apply_total_variation(
     return {"grid": hashgrid.grad_total_variation(x01, params["grid"], model.grid_spec, weight)}
 
 
+def apply_l1_sparsity(model: NerfModel, params: Params, weight: float) -> Params:
+    """L1-sparsity grad contribution for the factorized tables — TensoRF's
+    second regularizer (loss = weight * mean|table| per component; TensoRF
+    §5.1 applies it to the density components to suppress the spurious
+    mass factorized grids otherwise grow in free space). Returned as a
+    gradient CONTRIBUTION (same contract as apply_total_variation):
+    d/dx weight * mean|x| = weight * sign(x) / x.size."""
+    c = model.cfg
+    if not model.is_mlp_field:
+        return {}
+
+    def l1g(t: jax.Array) -> jax.Array:
+        return (weight / t.size) * jnp.sign(t)
+
+    g: Params = {}
+    for name in ("cp_lines", "vm_planes", "vm_lines"):
+        if name not in params:
+            continue
+        if name == "cp_lines" and c.mlp_cp_rank <= 0:
+            continue
+        if name.startswith("vm") and c.mlp_vm_rank <= 0:
+            continue
+        t = params[name]
+        g[name] = ([l1g(x) for x in t] if isinstance(t, (list, tuple))
+                   else l1g(t))
+    return g
+
+
 def apply_weight_decay(model: NerfModel, params: Params, weight: float) -> Params:
     """Level-meaned WD grad for the active grid (network.py:269-275)."""
     c = model.cfg

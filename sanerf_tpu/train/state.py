@@ -126,6 +126,10 @@ def _apply_regularizer_grads(
         contrib = fields.apply_weight_decay(model, params, cfg.lambda_wd)
         for k, g in contrib.items():
             grads[k] = jax.tree.map(jnp.add, grads[k], g)
+    if cfg.lambda_l1_grid > 0:
+        contrib = fields.apply_l1_sparsity(model, params, cfg.lambda_l1_grid)
+        for k, g in contrib.items():
+            grads[k] = jax.tree.map(jnp.add, grads[k], g)
     return grads
 
 

@@ -111,6 +111,35 @@ def test_plane_tv_gradient_matches_autodiff():
     assert contrib["vm_lines"].shape == params["vm_lines"].shape
 
 
+def test_l1_sparsity_gradient_matches_autodiff():
+    """apply_l1_sparsity == jax.grad of weight * mean|table| over every
+    factorized table (TensoRF's L1 term), for both single- and multi-level
+    grids; the hashgrid family gets no contribution (WD covers it)."""
+    w = 0.3
+    rc = RenderConfig(num_steps=(8, 4), bound=4.0, contract=True)
+    mc = ModelConfig(field_type="mlp", mlp_vm_rank=4, mlp_vm_res=10,
+                     mlp_cp_rank=6, mlp_cp_res=12, mlp_cp_levels=2,
+                     mlp_enc_freqs=3, mlp_field_width=16, mlp_field_depth=2,
+                     prop_resolutions=(16,))
+    model = fields.make_model(mc, rc)
+    params = fields.init_params(model, jax.random.key(7))
+    tables = {k: params[k] for k in ("cp_lines", "vm_planes", "vm_lines")}
+
+    def l1_loss(t):
+        return w * sum(jnp.mean(jnp.abs(x)) for x in jax.tree.leaves(t))
+
+    g_auto = jax.grad(l1_loss)(tables)
+    g_ours = fields.apply_l1_sparsity(model, params, w)
+    assert set(g_ours) == set(tables)
+    for a, b in zip(jax.tree.leaves(g_auto), jax.tree.leaves(g_ours)):
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a),
+                                   rtol=1e-6, atol=1e-8)
+
+    hg = fields.make_model(ModelConfig(field_type="hashgrid"), rc)
+    assert fields.apply_l1_sparsity(
+        hg, fields.init_params(hg, jax.random.key(8)), w) == {}
+
+
 def test_vm_multi_level_matches_per_level_concat():
     from sanerf_tpu.ops import cpgrid
 
@@ -221,6 +250,7 @@ def test_vm_field_family_forward_and_train_step():
     from sanerf_tpu.train import state as state_lib
 
     tc = TrainConfig(iters=10, num_rays=64, adaptive_num_rays=False,
+                     lambda_l1_grid=1e-3,  # L1 wiring rides the real step
                      use_native_loader=False)
     state = state_lib.create_train_state(model, tc, jax.random.key(1),
                                          params=params)

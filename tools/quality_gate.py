@@ -63,7 +63,8 @@ def run_family(field_type: str, args, mlp_width: int | None = None) -> dict:
                                  mlp_vm_levels=args.vm_levels)
     tc = TrainConfig(iters=args.iters, num_rays=args.num_rays,
                      adaptive_num_rays=False, lambda_distort=args.distort,
-                     lambda_tv=args.tv, grid_lr_mult=args.grid_lr_mult,
+                     lambda_tv=args.tv, lambda_l1_grid=args.l1,
+                     grid_lr_mult=args.grid_lr_mult,
                      lr=args.lr, eval_cnt=1, save_cnt=1,
                      anneal_iters=args.anneal_iters,
                      use_native_loader=not args.no_native)
@@ -138,6 +139,8 @@ def main(argv=None):
                     help="multi-res VM ladder levels (rank splits across)")
     ap.add_argument("--grid_lr_mult", type=float, default=10.0,
                     help="lr multiplier for CP/VM grid tables")
+    ap.add_argument("--l1", type=float, default=0.0,
+                    help="lambda_l1_grid (L1 sparsity on CP/VM tables)")
     ap.add_argument("--tv", type=float, default=0.0,
                     help="lambda_tv (reaches CP lines for the mlp family)")
     ap.add_argument("--anneal_iters", type=int, default=0,
