@@ -79,6 +79,10 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--lambda_tv", type=float, default=0)
     p.add_argument("--lambda_l1_grid", type=float, default=0,
                    help="L1 sparsity on CP/VM tables (TensoRF; mlp family)")
+    p.add_argument("--grid_upsample_steps", type=int, nargs="*", default=[],
+                   help="global steps at which CP/VM tables double in "
+                        "resolution (TensoRF coarse-to-fine; tables start "
+                        "at final_res >> N)")
     p.add_argument("--lambda_wd", type=float, default=0)
     p.add_argument("--lambda_proposal", type=float, default=1)
     p.add_argument("--lambda_distort", type=float, default=0.02)
@@ -208,6 +212,7 @@ def config_from_args(args) -> Config:
         adaptive_num_rays=args.adaptive_num_rays, num_points=args.num_points,
         lambda_entropy=args.lambda_entropy, lambda_tv=args.lambda_tv,
         lambda_l1_grid=args.lambda_l1_grid,
+        grid_upsample_steps=tuple(args.grid_upsample_steps),
         lambda_wd=args.lambda_wd, lambda_proposal=args.lambda_proposal,
         lambda_distort=args.lambda_distort, save_cnt=args.save_cnt,
         eval_cnt=args.eval_cnt, n_devices=args.n_devices,

@@ -226,6 +226,10 @@ class TrainConfig:
     # L1 sparsity on the factorized CP/VM tables (TensoRF §5.1 — suppress
     # spurious mass in free space; mlp family only)
     lambda_l1_grid: float = 0.0
+    # TensoRF §5.2 coarse-to-fine: CP/VM tables start at final_res >> N
+    # and double at each of these global-step milestones (applied at epoch
+    # boundaries; optimizer state resets at each, TensoRF's lr restart)
+    grid_upsample_steps: Tuple[int, ...] = ()
     lambda_wd: float = 0.0
     lambda_proposal: float = 1.0
     lambda_distort: float = 0.02

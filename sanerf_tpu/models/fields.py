@@ -729,6 +729,51 @@ def apply_total_variation(
     return {"grid": hashgrid.grad_total_variation(x01, params["grid"], model.grid_spec, weight)}
 
 
+def grid_resolutions(params: Params) -> Tuple[Optional[int], Optional[int]]:
+    """Current (finest-level) CP line res and VM plane res in `params`,
+    None for absent tables — the resolution 'state' the upsample schedule
+    compares against its targets (no bookkeeping to checkpoint)."""
+    cp = vm = None
+    if "cp_lines" in params:
+        cl = params["cp_lines"]
+        cp = (cl[-1] if isinstance(cl, (list, tuple)) else cl).shape[1]
+    if "vm_planes" in params:
+        vp = params["vm_planes"]
+        vm = (vp[-1] if isinstance(vp, (list, tuple)) else vp).shape[1]
+    return cp, vm
+
+
+def resize_grid_tables(model: NerfModel, params: Params,
+                       cp_res: Optional[int],
+                       vm_res: Optional[int]) -> Params:
+    """Linear-resample every factorized table so the finest level reaches
+    the target resolution (TensoRF's coarse-to-fine upsampling, §5.2).
+    Multi-res ladders recompute their per-level geometric resolutions for
+    the new top (cpgrid.level_resolutions), so a mid-schedule ladder keeps
+    its coarse-to-fine shape. Alignment is exact under the align-corners
+    lookup convention: the resized table represents the same continuous
+    function, so training resumes without a loss spike."""
+    p = dict(params)
+    if cp_res is not None and "cp_lines" in p:
+        cl = p["cp_lines"]
+        if isinstance(cl, (list, tuple)):
+            p["cp_lines"] = [
+                cpgrid.linresize(l, r) for l, r in
+                zip(cl, cpgrid.level_resolutions(cp_res, len(cl)))]
+        else:
+            p["cp_lines"] = cpgrid.linresize(cl, cp_res)
+    if vm_res is not None and "vm_planes" in p:
+        vp, vl = p["vm_planes"], p["vm_lines"]
+        if isinstance(vp, (list, tuple)):
+            pairs = [vmgrid.resize_vm(pp, ll, r) for pp, ll, r in
+                     zip(vp, vl, cpgrid.level_resolutions(vm_res, len(vp)))]
+            p["vm_planes"] = [a for a, _ in pairs]
+            p["vm_lines"] = [b for _, b in pairs]
+        else:
+            p["vm_planes"], p["vm_lines"] = vmgrid.resize_vm(vp, vl, vm_res)
+    return p
+
+
 def apply_l1_sparsity(model: NerfModel, params: Params, weight: float) -> Params:
     """L1-sparsity grad contribution for the factorized tables — TensoRF's
     second regularizer (loss = weight * mean|table| per component; TensoRF

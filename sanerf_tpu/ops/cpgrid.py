@@ -147,6 +147,29 @@ def anneal_level_weights(alpha: jax.Array, levels: int) -> jax.Array:
     return w.at[0].set(1.0)
 
 
+def linresize(t: jax.Array, new_res: int, axis: int = 1) -> jax.Array:
+    """Linear resample of a table along `axis` to `new_res`, preserving the
+    represented function under this module's align-corners convention
+    (lookup maps [-bound, bound] onto [0, R-1], vmgrid._interp_weights):
+    new[j] samples the old table at u = j * (R-1) / (new_res-1). This is
+    TensoRF's `upsample_volume_grid` step — grids train coarse-to-fine and
+    bilinear-upsample at milestone steps (their §5.2 'coarse-to-fine
+    reconstruction'; runs between epochs on the host path, so the gather
+    form is fine)."""
+    R = t.shape[axis]
+    if new_res == R:
+        return t
+    u = jnp.linspace(0.0, R - 1.0, new_res)
+    i0 = jnp.clip(jnp.floor(u).astype(jnp.int32), 0, max(R - 2, 0))
+    f = u - i0
+    a = jnp.take(t, i0, axis=axis)
+    b = jnp.take(t, jnp.minimum(i0 + 1, R - 1), axis=axis)
+    shape = [1] * t.ndim
+    shape[axis] = new_res
+    f = f.reshape(shape)
+    return a * (1.0 - f) + b * f
+
+
 def grad_total_variation(lines: jax.Array, weight: float) -> jax.Array:
     """Gradient of the 1-D total-variation penalty weight * sum_i
     (L[i+1] - L[i])^2 over every line/rank — TensoRF's TV term, the

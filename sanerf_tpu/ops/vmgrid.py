@@ -67,6 +67,19 @@ def init_vm_multi(key: jax.Array, res: int, rank: int, levels: int,
     return [p for p, _ in pairs], [l for _, l in pairs]
 
 
+def resize_vm(planes: jax.Array, lines: jax.Array,
+              new_res: int) -> Tuple[jax.Array, jax.Array]:
+    """Bilinear-resample a VM level to plane resolution `new_res`
+    (separable 1-D passes; TensoRF's upsample_volume_grid). The line
+    resolution scales by the same factor, preserving any line_res
+    decoupling."""
+    old = planes.shape[1]
+    p = cpgrid.linresize(cpgrid.linresize(planes, new_res, axis=1),
+                         new_res, axis=2)
+    new_line = max(2, int(round(lines.shape[1] * new_res / old)))
+    return p, cpgrid.linresize(lines, new_line, axis=1)
+
+
 def vm_features_multi(planes_list, lines_list, x: jax.Array, bound: float,
                       level_weights=None, lookup: str = "gather") -> jax.Array:
     """Concatenated per-level VM features (coarse -> fine),

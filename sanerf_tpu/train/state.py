@@ -80,6 +80,30 @@ def make_optimizer(cfg: TrainConfig, trainable: Optional[Params] = None):
     return tx
 
 
+def grid_upsample_targets(cfg: TrainConfig, mc, step: int):
+    """Target (cp_res, vm_res) for the factorized tables at `step` under
+    cfg.grid_upsample_steps: the configured resolution is the FINAL one;
+    with N milestones still ahead the tables sit N halvings below it
+    (TensoRF §5.2 trains coarse-to-fine and upsamples at milestones)."""
+    down = sum(1 for m in cfg.grid_upsample_steps if step < m)
+    return (max(8, mc.mlp_cp_res >> down) if mc.mlp_cp_rank > 0 else None,
+            max(8, mc.mlp_vm_res >> down) if mc.mlp_vm_rank > 0 else None)
+
+
+def resize_grid_state(model: NerfModel, cfg: TrainConfig, state: TrainState,
+                      cp_res, vm_res,
+                      trainable: Optional[Params] = None) -> TrainState:
+    """Linear-resample the grid tables (params AND ema) to the target
+    resolutions and re-init the optimizer state for the new shapes. The
+    optimizer reset restarts the lr schedule — TensoRF's lr_upsample_reset
+    behavior (their train loop resets lr at every upsample)."""
+    new_p = fields.resize_grid_tables(model, state.params, cp_res, vm_res)
+    new_e = fields.resize_grid_tables(model, state.ema_params, cp_res, vm_res)
+    tx = make_optimizer(cfg, trainable)
+    return TrainState(params=new_p, ema_params=new_e,
+                      opt_state=tx.init(new_p), step=state.step)
+
+
 def all_trainable(params: Params) -> Params:
     return jax.tree.map(lambda _: True, params)
 

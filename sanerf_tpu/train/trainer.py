@@ -182,8 +182,10 @@ class Trainer:
             + (" [native loader]" if native else "")
         )
 
+        self._maybe_resize_grids()  # initial coarse tables / resume catch-up
         for _ in range(self.epoch, max_epoch):
             self.epoch += 1
+            self._maybe_resize_grids()
             t0 = time.time()
             acc = None  # device-side running sums (cheap adds, no host sync)
             last_aux = None
@@ -231,6 +233,31 @@ class Trainer:
         if native is not None:
             native.close()
         self.save_checkpoint(full=True)
+
+    def _maybe_resize_grids(self):
+        """TensoRF §5.2 coarse-to-fine schedule (TrainConfig.
+        grid_upsample_steps): resample the CP/VM tables to their
+        target-at-this-step resolution. Runs at epoch boundaries —
+        milestones round up to the next boundary. State is derived by
+        comparing table shapes to targets, so checkpoint resume needs no
+        extra bookkeeping; the jitted steps retrace on the new shapes."""
+        tc = self.cfg.train
+        if not tc.grid_upsample_steps or not self.model.is_mlp_field:
+            return
+        targets = state_lib.grid_upsample_targets(
+            tc, self.model.cfg, self.global_step)
+        current = fields.grid_resolutions(self.state.params)
+        if all(t is None or t == c for t, c in zip(targets, current)):
+            return
+        self.state = state_lib.resize_grid_state(
+            self.model, tc, self.state, *targets, trainable=self.trainable)
+        if self.mesh is not None:
+            from sanerf_tpu.parallel import dp
+
+            self.state = dp.replicate_state(self.state, self.mesh)
+        self.log(f"[grid] tables resized to cp_res={targets[0]} "
+                 f"vm_res={targets[1]} at step {self.global_step} "
+                 "(optimizer reset; lr restarts, TensoRF-style)")
 
     def _get_dp_step(self, batch: Dict):
         """Sharded train step, rebuilt if the batch structure changes

@@ -140,6 +140,81 @@ def test_l1_sparsity_gradient_matches_autodiff():
         hg, fields.init_params(hg, jax.random.key(8)), w) == {}
 
 
+def test_linresize_preserves_function_exactly_on_nested_knots():
+    """R -> 2R-1 places every old knot on a new knot, so the resized
+    piecewise-linear table represents the IDENTICAL continuous function:
+    vm/cp features at arbitrary points are unchanged (the property that
+    makes TensoRF upsampling loss-spike-free)."""
+    from sanerf_tpu.ops import cpgrid
+
+    planes, lines = vmgrid.init_vm(jax.random.key(3), res=9, rank=4)
+    x = jax.random.uniform(jax.random.key(4), (257, 3), minval=-4.0,
+                           maxval=4.0)
+    before = vmgrid.vm_features_gather(planes, lines, x, 4.0)
+    p2, l2 = vmgrid.resize_vm(planes, lines, 17)
+    assert p2.shape == (3, 17, 17, 4) and l2.shape == (3, 17, 4)
+    after = vmgrid.vm_features_gather(p2, l2, x, 4.0)
+    np.testing.assert_allclose(np.asarray(after), np.asarray(before),
+                               rtol=1e-5, atol=1e-6)
+
+    cl = cpgrid.init_lines(jax.random.key(5), res=9, rank=6)
+    b = cpgrid.line_features_gather(cl, x, 4.0)
+    a = cpgrid.line_features_gather(cpgrid.linresize(cl, 17), x, 4.0)
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                               rtol=1e-5, atol=1e-6)
+
+
+def test_grid_upsample_schedule_end_to_end():
+    """Trainer applies grid_upsample_steps at epoch boundaries: tables
+    start at final_res >> N, double through the milestones, finish at the
+    configured resolution, and the loss stays finite across every
+    reshape/retrace."""
+    from sanerf_tpu.config import Config
+    from sanerf_tpu.data.synthetic import SyntheticSphereDataset
+    from sanerf_tpu.train import state as state_lib
+    from sanerf_tpu.train.trainer import Trainer
+
+    rc = RenderConfig(num_steps=(8, 4), bound=4.0, contract=True,
+                      max_ray_batch=1024)
+    mc = ModelConfig(field_type="mlp", mlp_cp_rank=4, mlp_cp_res=32,
+                     mlp_vm_rank=4, mlp_vm_res=32,
+                     mlp_enc_freqs=3, mlp_field_width=16, mlp_field_depth=4,
+                     mlp_prop_enc_freqs=2, mlp_prop_width=16,
+                     mlp_prop_depth=2, prop_resolutions=(16,))
+    # targets: step 0 -> 8, >=4 -> 16, >=8 -> 32
+    assert state_lib.grid_upsample_targets(
+        TrainConfig(grid_upsample_steps=(4, 8)), mc, 0) == (8, 8)
+    assert state_lib.grid_upsample_targets(
+        TrainConfig(grid_upsample_steps=(4, 8)), mc, 5) == (16, 16)
+    assert state_lib.grid_upsample_targets(
+        TrainConfig(grid_upsample_steps=(4, 8)), mc, 8) == (32, 32)
+
+    tc = TrainConfig(iters=12, num_rays=64, adaptive_num_rays=False,
+                     grid_upsample_steps=(4, 8), eval_cnt=1, save_cnt=1,
+                     use_native_loader=False)
+    cfg = Config(render=rc, model=mc, train=tc)
+    import tempfile
+
+    with tempfile.TemporaryDirectory() as ws:
+        model = fields.make_model(mc, rc)
+        tr = Trainer("up", cfg, model, workspace=ws, use_checkpoint="scratch")
+        ds = SyntheticSphereDataset(H=16, W=16, n_views=4)
+        seen = []
+        orig = tr._maybe_resize_grids
+
+        def spy():
+            orig()
+            seen.append(fields.grid_resolutions(tr.state.params))
+
+        tr._maybe_resize_grids = spy
+        tr.train(ds, max_epoch=3, steps_per_epoch=4)
+        # initial call + one per epoch; coarse -> mid -> final
+        assert seen[0] == (8, 8), seen
+        assert seen[-1] == (32, 32), seen
+        assert (16, 16) in seen, seen
+        assert fields.grid_resolutions(tr.state.params) == (32, 32)
+
+
 def test_vm_multi_level_matches_per_level_concat():
     from sanerf_tpu.ops import cpgrid
 

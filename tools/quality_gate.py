@@ -64,6 +64,7 @@ def run_family(field_type: str, args, mlp_width: int | None = None) -> dict:
     tc = TrainConfig(iters=args.iters, num_rays=args.num_rays,
                      adaptive_num_rays=False, lambda_distort=args.distort,
                      lambda_tv=args.tv, lambda_l1_grid=args.l1,
+                     grid_upsample_steps=tuple(args.upsample_steps),
                      grid_lr_mult=args.grid_lr_mult,
                      lr=args.lr, eval_cnt=1, save_cnt=1,
                      anneal_iters=args.anneal_iters,
@@ -139,6 +140,9 @@ def main(argv=None):
                     help="multi-res VM ladder levels (rank splits across)")
     ap.add_argument("--grid_lr_mult", type=float, default=10.0,
                     help="lr multiplier for CP/VM grid tables")
+    ap.add_argument("--upsample_steps", type=int, nargs="*", default=[],
+                    help="grid_upsample_steps milestones (TensoRF "
+                         "coarse-to-fine table upsampling)")
     ap.add_argument("--l1", type=float, default=0.0,
                     help="lambda_l1_grid (L1 sparsity on CP/VM tables)")
     ap.add_argument("--tv", type=float, default=0.0,
