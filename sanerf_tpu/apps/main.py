@@ -157,6 +157,14 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--vm_res", type=int, default=64)
     p.add_argument("--vm_levels", type=int, default=1,
                    help="multi-res VM ladder levels (rank splits across)")
+    p.add_argument("--sigma_cp_rank", type=int, default=0,
+                   help="DIRECT-density CP grid rank (TensoRF §4.1: the "
+                        "component sum adds straight into the density "
+                        "logit; 0 = off)")
+    p.add_argument("--sigma_cp_res", type=int, default=256)
+    p.add_argument("--sigma_vm_rank", type=int, default=0,
+                   help="DIRECT-density VM grid per-mode rank (0 = off)")
+    p.add_argument("--sigma_vm_res", type=int, default=128)
     p.add_argument("--grid_lr_mult", type=float, default=10.0,
                    help="lr multiplier for CP/VM grid tables "
                         "(TensoRF's grid-vs-net split)")
@@ -192,14 +200,18 @@ def config_from_args(args) -> Config:
     if args.mlp_depth is not None:
         import dataclasses as _dc
         model = _dc.replace(model, mlp_field_depth=args.mlp_depth)
-    if args.cp_rank or args.vm_rank:
+    if args.cp_rank or args.vm_rank or args.sigma_cp_rank or args.sigma_vm_rank:
         import dataclasses as _dc
         model = _dc.replace(model, mlp_cp_rank=args.cp_rank,
                             mlp_cp_res=args.cp_res,
                             mlp_cp_levels=args.cp_levels,
                             mlp_vm_rank=args.vm_rank,
                             mlp_vm_res=args.vm_res,
-                            mlp_vm_levels=args.vm_levels)
+                            mlp_vm_levels=args.vm_levels,
+                            mlp_sigma_cp_rank=args.sigma_cp_rank,
+                            mlp_sigma_cp_res=args.sigma_cp_res,
+                            mlp_sigma_vm_rank=args.sigma_vm_rank,
+                            mlp_sigma_vm_res=args.sigma_vm_res)
     # the MLP field family trains best with a gentler schedule than the
     # hash-grid recipe's lr=1e-2 (which diverges on deep 8x256 MLPs); scale
     # the default unless the user overrode --lr

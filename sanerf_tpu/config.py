@@ -136,6 +136,19 @@ class ModelConfig:
     # Multi-level VM renders through the XLA path (the in-kernel _vm_block
     # consumes a single level).
     mlp_vm_levels: int = 1
+    # DIRECT density grids (TensoRF's core mechanism, arXiv:2203.09517
+    # §4.1: sigma is the plain SUM of factorized-grid components — no MLP
+    # in the density path, so the photometric gradient reaches the tables
+    # undamped). When either rank is > 0, dedicated sigma tables are
+    # created and their component-sum is ADDED to the field MLP's density
+    # logit (the MLP can learn a residual; at init both are ~0). The
+    # sigma tables do NOT feed the MLP input. Single-level; they follow
+    # grid_lr_mult, lambda_tv, lambda_l1_grid and grid_upsample_steps
+    # (TensoRF applies TV/L1 to the density grid above all).
+    mlp_sigma_cp_rank: int = 0
+    mlp_sigma_cp_res: int = 256
+    mlp_sigma_vm_rank: int = 0
+    mlp_sigma_vm_res: int = 128
     # XLA-path lookup primitive for the CP/VM tables ("auto" | "gather" |
     # "onehot"; bit-identical math either way, parity-tested):
     #   - "gather" row-gathers the interpolation corners (6/point CP,

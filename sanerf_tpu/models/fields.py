@@ -192,6 +192,13 @@ class NerfModel:
         return self.render_cfg.grid_bound
 
     @property
+    def has_sigma_grid(self) -> bool:
+        """Dedicated direct-density tables present (mlp_sigma_*_rank > 0):
+        sigma_grid_logit adds their component-sum to the density logit."""
+        return self.is_mlp_field and (self.cfg.mlp_sigma_cp_rank > 0
+                                      or self.cfg.mlp_sigma_vm_rank > 0)
+
+    @property
     def grid_out_dim(self) -> int:
         """Dim of the positional feature feeding grid_mlp (hash-grid output
         or Fourier features)."""
@@ -355,6 +362,13 @@ def init_params(model: NerfModel, key: jax.Array) -> Params:
             else:
                 params["vm_planes"], params["vm_lines"] = vmgrid.init_vm_multi(
                     next(keys), c.mlp_vm_res, c.mlp_vm_rank, c.mlp_vm_levels)
+        if c.mlp_sigma_cp_rank > 0:
+            params["sigma_cp_lines"] = cpgrid.init_lines(
+                next(keys), c.mlp_sigma_cp_res, c.mlp_sigma_cp_rank)
+        if c.mlp_sigma_vm_rank > 0:
+            params["sigma_vm_planes"], params["sigma_vm_lines"] = (
+                vmgrid.init_vm(next(keys), c.mlp_sigma_vm_res,
+                               c.mlp_sigma_vm_rank))
         if c.with_sam:
             params["s_field_mlp"] = init_mlp(
                 next(keys), model.grid_out_dim, model.s_feat_dim,
@@ -531,6 +545,42 @@ def position_features(model: NerfModel, params: Params, x: jax.Array,
     return h
 
 
+def sigma_grid_logit(model: NerfModel, params: Params,
+                     x: jax.Array) -> Optional[jax.Array]:
+    """TensoRF's direct density (arXiv:2203.09517 §4.1): the density-logit
+    contribution is the PLAIN SUM of the dedicated sigma-grid components,
+    so the photometric gradient reaches the tables with no MLP in between
+    — the mechanism that lets factorized grids sharpen geometry orders of
+    magnitude faster than a coordinate MLP. Added to (not replacing) the
+    field MLP's density head, which starts near zero and learns a smooth
+    residual. Returns [N] (f32) or None when the model has no sigma
+    tables. Lookup dispatch mirrors position_features."""
+    c = model.cfg
+    if not model.is_mlp_field:
+        return None
+    lookup = getattr(c, "grid_lookup", "auto")
+    on_tpu = jax.default_backend() != "cpu"
+    out = None
+    if c.mlp_sigma_cp_rank > 0 and "sigma_cp_lines" in params:
+        lk = ("onehot" if on_tpu else "gather") if lookup == "auto" else lookup
+        fn = (cpgrid.line_features_gather if lk == "gather"
+              else cpgrid.line_features)
+        out = jnp.sum(fn(params["sigma_cp_lines"], x, model.bound), axis=-1)
+    if c.mlp_sigma_vm_rank > 0 and "sigma_vm_planes" in params:
+        planes = params["sigma_vm_planes"]
+        R, K = planes.shape[1], planes.shape[3]
+        if lookup == "auto":
+            lk = "onehot" if on_tpu and R * R * K <= 4 * 2 ** 20 else "gather"
+        else:
+            lk = lookup
+        fn = (vmgrid.vm_features_gather if lk == "gather"
+              else vmgrid.vm_features)
+        s = jnp.sum(fn(planes, params["sigma_vm_lines"], x, model.bound),
+                    axis=-1)
+        out = s if out is None else out + s
+    return out
+
+
 def common_forward(
     model: NerfModel, params: Params, x: jax.Array, save_intermediates: bool = False,
     fast: bool = False, x_T: Optional[jax.Array] = None,
@@ -544,7 +594,8 @@ def common_forward(
     activations round-trip HBM every layer (profiled 82 -> 53 ms for the
     8.4M-point final level). grid_output is not materialized on this path.
     """
-    if model.is_mlp_field and fast and not save_intermediates:
+    if (model.is_mlp_field and fast and not save_intermediates
+            and (not model.has_sigma_grid or model.render_cfg.cp_fused)):
         fT = field_forward_T(model, params, x if x_T is None else x_T,
                              transposed=x_T is not None)
         sigma = density_activation(model, fT[0])
@@ -562,7 +613,11 @@ def common_forward(
             x, params["grid"], model.grid_spec, model.bound
         )
         f, inter = apply_mlp(params["grid_mlp"], grid_output, save_intermediates)
-    sigma = density_activation(model, f[..., 0])
+    logit = f[..., 0]
+    sg = sigma_grid_logit(model, params, x)
+    if sg is not None:
+        logit = logit + sg.astype(logit.dtype)
+    sigma = density_activation(model, logit)
     geo_feat = f[..., 1:]
     return sigma, geo_feat, grid_output, inter
 
@@ -607,6 +662,9 @@ def field_forward_T(model: NerfModel, params: Params, x, transposed: bool):
         block=model.render_cfg.fused_block,
         transposed=transposed, cp_lines=params.get("cp_lines"),
         vm_planes=params.get("vm_planes"), vm_lines=params.get("vm_lines"),
+        sigma_cp_lines=params.get("sigma_cp_lines"),
+        sigma_vm_planes=params.get("sigma_vm_planes"),
+        sigma_vm_lines=params.get("sigma_vm_lines"),
     )
 
 
@@ -631,6 +689,9 @@ def field_composite_T(model: NerfModel, params: Params, xT, dl, ts,
         sh_degree=model.cfg.sh_degree,
         cp_lines=params.get("cp_lines"),
         vm_planes=params.get("vm_planes"), vm_lines=params.get("vm_lines"),
+        sigma_cp_lines=params.get("sigma_cp_lines"),
+        sigma_vm_planes=params.get("sigma_vm_planes"),
+        sigma_vm_lines=params.get("sigma_vm_lines"),
         pack_q=pack_q, T=T,
     )
 
@@ -721,6 +782,16 @@ def apply_total_variation(
             else:
                 g["vm_planes"] = vmgrid.grad_total_variation_planes(vp, weight)
                 g["vm_lines"] = cpgrid.grad_total_variation(vl, weight)
+        # dedicated sigma tables: TensoRF applies TV to the DENSITY grid
+        # above all (their L_TV sums density + appearance components)
+        if "sigma_cp_lines" in params:
+            g["sigma_cp_lines"] = cpgrid.grad_total_variation(
+                params["sigma_cp_lines"], weight)
+        if "sigma_vm_planes" in params:
+            g["sigma_vm_planes"] = vmgrid.grad_total_variation_planes(
+                params["sigma_vm_planes"], weight)
+            g["sigma_vm_lines"] = cpgrid.grad_total_variation(
+                params["sigma_vm_lines"], weight)
         return g  # no tables otherwise; the band-limited encoding is smooth
     if c.with_sam:
         return {"s_grid": hashgrid.grad_total_variation(x01, params["s_grid"], model.s_grid_spec, weight)}
@@ -729,31 +800,39 @@ def apply_total_variation(
     return {"grid": hashgrid.grad_total_variation(x01, params["grid"], model.grid_spec, weight)}
 
 
-def grid_resolutions(params: Params) -> Tuple[Optional[int], Optional[int]]:
-    """Current (finest-level) CP line res and VM plane res in `params`,
-    None for absent tables — the resolution 'state' the upsample schedule
-    compares against its targets (no bookkeeping to checkpoint)."""
-    cp = vm = None
+def grid_resolutions(params: Params) -> Dict[str, int]:
+    """Current (finest-level) resolution of every factorized table family
+    present in `params` — keys "cp", "vm", "sigma_cp", "sigma_vm" (absent
+    families omitted). This is the resolution 'state' the upsample
+    schedule compares against its targets (no bookkeeping to
+    checkpoint)."""
+    out: Dict[str, int] = {}
     if "cp_lines" in params:
         cl = params["cp_lines"]
-        cp = (cl[-1] if isinstance(cl, (list, tuple)) else cl).shape[1]
+        out["cp"] = (cl[-1] if isinstance(cl, (list, tuple)) else cl).shape[1]
     if "vm_planes" in params:
         vp = params["vm_planes"]
-        vm = (vp[-1] if isinstance(vp, (list, tuple)) else vp).shape[1]
-    return cp, vm
+        out["vm"] = (vp[-1] if isinstance(vp, (list, tuple)) else vp).shape[1]
+    if "sigma_cp_lines" in params:
+        out["sigma_cp"] = params["sigma_cp_lines"].shape[1]
+    if "sigma_vm_planes" in params:
+        out["sigma_vm"] = params["sigma_vm_planes"].shape[1]
+    return out
 
 
 def resize_grid_tables(model: NerfModel, params: Params,
-                       cp_res: Optional[int],
-                       vm_res: Optional[int]) -> Params:
+                       targets: Dict[str, int]) -> Params:
     """Linear-resample every factorized table so the finest level reaches
-    the target resolution (TensoRF's coarse-to-fine upsampling, §5.2).
-    Multi-res ladders recompute their per-level geometric resolutions for
-    the new top (cpgrid.level_resolutions), so a mid-schedule ladder keeps
-    its coarse-to-fine shape. Alignment is exact under the align-corners
-    lookup convention: the resized table represents the same continuous
-    function, so training resumes without a loss spike."""
+    the target resolution (TensoRF's coarse-to-fine upsampling, §5.2);
+    `targets` maps grid_resolutions keys to new resolutions (absent keys
+    untouched). Multi-res ladders recompute their per-level geometric
+    resolutions for the new top (cpgrid.level_resolutions), so a
+    mid-schedule ladder keeps its coarse-to-fine shape. Alignment is exact
+    under the align-corners lookup convention: the resized table
+    represents the same continuous function, so training resumes without
+    a loss spike."""
     p = dict(params)
+    cp_res = targets.get("cp")
     if cp_res is not None and "cp_lines" in p:
         cl = p["cp_lines"]
         if isinstance(cl, (list, tuple)):
@@ -762,6 +841,7 @@ def resize_grid_tables(model: NerfModel, params: Params,
                 zip(cl, cpgrid.level_resolutions(cp_res, len(cl)))]
         else:
             p["cp_lines"] = cpgrid.linresize(cl, cp_res)
+    vm_res = targets.get("vm")
     if vm_res is not None and "vm_planes" in p:
         vp, vl = p["vm_planes"], p["vm_lines"]
         if isinstance(vp, (list, tuple)):
@@ -771,6 +851,13 @@ def resize_grid_tables(model: NerfModel, params: Params,
             p["vm_lines"] = [b for _, b in pairs]
         else:
             p["vm_planes"], p["vm_lines"] = vmgrid.resize_vm(vp, vl, vm_res)
+    scp = targets.get("sigma_cp")
+    if scp is not None and "sigma_cp_lines" in p:
+        p["sigma_cp_lines"] = cpgrid.linresize(p["sigma_cp_lines"], scp)
+    svm = targets.get("sigma_vm")
+    if svm is not None and "sigma_vm_planes" in p:
+        p["sigma_vm_planes"], p["sigma_vm_lines"] = vmgrid.resize_vm(
+            p["sigma_vm_planes"], p["sigma_vm_lines"], svm)
     return p
 
 
@@ -789,12 +876,13 @@ def apply_l1_sparsity(model: NerfModel, params: Params, weight: float) -> Params
         return (weight / t.size) * jnp.sign(t)
 
     g: Params = {}
-    for name in ("cp_lines", "vm_planes", "vm_lines"):
+    for name in ("cp_lines", "vm_planes", "vm_lines",
+                 "sigma_cp_lines", "sigma_vm_planes", "sigma_vm_lines"):
         if name not in params:
             continue
         if name == "cp_lines" and c.mlp_cp_rank <= 0:
             continue
-        if name.startswith("vm") and c.mlp_vm_rank <= 0:
+        if name in ("vm_planes", "vm_lines") and c.mlp_vm_rank <= 0:
             continue
         t = params[name]
         g[name] = ([l1g(x) for x in t] if isinstance(t, (list, tuple))

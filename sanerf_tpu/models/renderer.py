@@ -105,6 +105,7 @@ def run_rays(
     # inference fast path: transposed fused encode+MLP kernels (no VJP)
     fast = (model.is_mlp_field and not training and not save_inter
             and cfg.use_fused_mlp
+            and (not model.has_sigma_grid or cfg.cp_fused)
             and (mc.mlp_cp_rank == 0 or cfg.cp_fused)
             and (mc.mlp_vm_rank == 0
                  or (cfg.cp_fused and mc.mlp_vm_levels == 1)))

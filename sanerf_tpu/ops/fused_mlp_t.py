@@ -121,16 +121,22 @@ def _scale_off(R: int, bound: float):
     return (R - 1) / (2.0 * bound), (R - 1) / 2.0
 
 
-def _prep_grids(cp_lines, vm_planes, vm_lines, row_map, bound: float, dtype):
+def _prep_grids(cp_lines, vm_planes, vm_lines, row_map, bound: float, dtype,
+                sigma_cp_lines=None, sigma_vm_planes=None,
+                sigma_vm_lines=None):
     """Normalize the factorized-grid tables into kernel operands.
 
     Returns (operand arrays, grid_info, extended row map) where grid_info
     = (cp level infos (R, K, scale, offset)..., vm_info or None, padded
-    total rows). Operands: per-CP-level [3, K_i, R_i] transposed tables,
-    then — when VM is on — [3, K, R, R] mode-major planes (axis order
-    [m, k, row-axis (m+1)%3, col-axis (m+2)%3]) and [3, K, Rl] lines.
-    The appended feature rows follow position_features' concat order:
-    [freq, cp levels..., vm modes...]."""
+    total rows, sigma-cp info or None, sigma-vm info or None). Operands:
+    per-CP-level [3, K_i, R_i] transposed tables, then — when VM is on —
+    [3, K, R, R] mode-major planes (axis order [m, k, row-axis (m+1)%3,
+    col-axis (m+2)%3]) and [3, K, Rl] lines; then the DIRECT-density
+    sigma tables in the same transposed forms. The appended feature rows
+    follow position_features' concat order: [freq, cp levels..., vm
+    modes...]; the sigma tables add NO feature rows — their component-sum
+    goes straight into the density output row (fields.sigma_grid_logit,
+    TensoRF §4.1)."""
     ops = []
     cp_infos = ()
     k_total = 0
@@ -151,9 +157,33 @@ def _prep_grids(cp_lines, vm_planes, vm_lines, row_map, bound: float, dtype):
         ops.append(jnp.swapaxes(vm_lines, 1, 2).astype(dtype))
         vm_info = (int(R), int(Rl), int(K), *_scale_off(R, bound),
                    *_scale_off(Rl, bound))
+    sig_cp = None
+    if sigma_cp_lines is not None:
+        l = sigma_cp_lines
+        ops.append(jnp.swapaxes(l, 1, 2).astype(dtype))
+        sig_cp = (int(l.shape[1]), int(l.shape[2]),
+                  *_scale_off(l.shape[1], bound))
+    sig_vm = None
+    if sigma_vm_planes is not None:
+        _, R, _, K = sigma_vm_planes.shape
+        Rl = sigma_vm_lines.shape[1]
+        ops.append(jnp.transpose(sigma_vm_planes, (0, 3, 1, 2)).astype(dtype))
+        ops.append(jnp.swapaxes(sigma_vm_lines, 1, 2).astype(dtype))
+        sig_vm = (int(R), int(Rl), int(K), *_scale_off(R, bound),
+                  *_scale_off(Rl, bound))
     base_rows = len(row_map)
     row_map = extend_row_map_cp(row_map, k_total)
-    return ops, (cp_infos, vm_info, len(row_map) - base_rows), row_map
+    info = (cp_infos, vm_info, len(row_map) - base_rows, sig_cp, sig_vm)
+    return ops, info, row_map
+
+
+def _n_grid_ops(grid_info) -> int:
+    """Number of pallas operands the grid_info describes (unpack helper
+    for the kernels' *rest argument list)."""
+    cp_infos, vm_info, _, sig_cp, sig_vm = grid_info
+    return (len(cp_infos) + (2 if vm_info is not None else 0)
+            + (1 if sig_cp is not None else 0)
+            + (2 if sig_vm is not None else 0))
 
 
 def _prep_cp(cp_lines, row_map, bound: float, dtype):
@@ -250,9 +280,12 @@ def _vm_block(xT, p_ref, l_ref, vm_info, f32_dots: bool):
 def _cp_block(xT, refs, grid_info, f32_dots: bool):
     """Concatenated factorized-grid features [Kp, B]: one `_cp_level` per
     CP resolution (coarse -> fine), then the VM modes, zero-padded to the
-    8-aligned row count the extended row map reserved."""
-    cp_infos, vm_info, Kp = grid_info
+    8-aligned row count the extended row map reserved. (Sigma operands
+    trail the refs list and are consumed by _sigma_block, not here.)"""
+    cp_infos, vm_info, Kp = grid_info[:3]
     B = xT.shape[1]
+    if Kp == 0:
+        return None
     feats = [_cp_level(xT, r, li, f32_dots)
              for r, li in zip(refs, cp_infos)]
     K = sum(li[1] for li in cp_infos)
@@ -263,6 +296,28 @@ def _cp_block(xT, refs, grid_info, f32_dots: bool):
     if Kp > K:
         feats.append(jnp.zeros((Kp - K, B), feats[0].dtype))
     return feats[0] if len(feats) == 1 else jnp.concatenate(feats, axis=0)
+
+
+def _sigma_block(xT, refs, grid_info, f32_dots: bool):
+    """DIRECT-density contribution [1, B]: the component-sum of the sigma
+    tables (fields.sigma_grid_logit in-kernel — TensoRF §4.1's density =
+    plain sum over grid components). Returns None when the model has no
+    sigma tables. The sigma operands trail the appearance operands in
+    `refs` (see _prep_grids)."""
+    cp_infos, vm_info, _, sig_cp, sig_vm = grid_info
+    if sig_cp is None and sig_vm is None:
+        return None
+    base = len(cp_infos) + (2 if vm_info is not None else 0)
+    s = None
+    if sig_cp is not None:
+        f = _cp_level(xT, refs[base], sig_cp, f32_dots)  # [K, B]
+        s = jnp.sum(f, axis=0, keepdims=True)
+        base += 1
+    if sig_vm is not None:
+        f = _vm_block(xT, refs[base], refs[base + 1], sig_vm, f32_dots)
+        s2 = jnp.sum(f, axis=0, keepdims=True)
+        s = s2 if s is None else s + s2
+    return s
 
 
 def pack_tmlp(layers, enc_pad: int, skip_layers: Sequence[int] = (),
@@ -381,7 +436,9 @@ def run_tmlp(x, layers, enc_freqs: int, bound: float,
              skip_layers: Sequence[int] = (), leaky: bool = False,
              block: int = 2048, interpret: Optional[bool] = None,
              transposed: bool = False, angle_double: bool = True,
-             cp_lines=None, vm_planes=None, vm_lines=None) -> jax.Array:
+             cp_lines=None, vm_planes=None, vm_lines=None,
+             sigma_cp_lines=None, sigma_vm_planes=None,
+             sigma_vm_lines=None) -> jax.Array:
     """One-shot traceable entry: x [N, 3] (or [3, N] with `transposed`) ->
     [out_pad, N] f32 transposed outputs. Packs in-trace (pack_tmlp_traced);
     usable inside run_rays. Feeding [3, N] avoids both the XLA transpose
@@ -396,15 +453,20 @@ def run_tmlp(x, layers, enc_freqs: int, bound: float,
         dtype = jnp.float32
     if interpret is None:
         interpret = jax.default_backend() == "cpu"
-    if cp_lines is not None or vm_planes is not None:
+    any_grid = (cp_lines is not None or vm_planes is not None
+                or sigma_cp_lines is not None or sigma_vm_planes is not None)
+    if any_grid:
         assert angle_double, "grid features require the angle-doubling encode"
     if angle_double:
         z0_projT, z0_phase, row_map = make_ad_consts(
             enc_freqs, float(np.pi / bound))
         cpT = cp_info = None
-        if cp_lines is not None or vm_planes is not None:
+        if any_grid:
             cpT, cp_info, row_map = _prep_grids(
-                cp_lines, vm_planes, vm_lines, row_map, bound, dtype)
+                cp_lines, vm_planes, vm_lines, row_map, bound, dtype,
+                sigma_cp_lines=sigma_cp_lines,
+                sigma_vm_planes=sigma_vm_planes,
+                sigma_vm_lines=sigma_vm_lines)
         wstack, bias, dims = pack_tmlp_traced(
             layers, len(row_map), skip_layers, dtype, enc_row_map=row_map)
         out_rows = _round_up(dims[-1][2], 8)
@@ -440,13 +502,16 @@ def run_tmlp(x, layers, enc_freqs: int, bound: float,
 
 def _encode_and_chain(dims, leaky, has_bias, ad_freqs, xT, w_ref, projT_ref,
                       phase_ref, lmask_ref, b_ref, f32_dots: bool = False,
-                      last_bt: bool = False, cp=None):
+                      last_bt: bool = False, cp=None, sig=None):
     """Shared kernel body: Fourier encode + the full MLP chain.
     Returns the LAST layer's f32 accumulator [kout, B] — or [B, kout] with
     `last_bt` (the last dot contracts over the LHS activation's leading dim
     instead of transposing the result afterwards: MXU handles transposed
     contractions natively, an explicit [kout, B] -> [B, kout] transpose per
     block profiled ~13 ms/frame).
+
+    `sig` ([1, B] from _sigma_block, optional) adds the direct-density
+    grid sum into the sigma output row (row 0 / col 0) before return.
 
     `f32_dots` (interpret/CPU mode): the CPU backend's DotThunk cannot
     execute bf16 x bf16 = f32 dots outside a fusion — cast operands to f32
@@ -475,6 +540,15 @@ def _encode_and_chain(dims, leaky, has_bias, ad_freqs, xT, w_ref, projT_ref,
                 preferred_element_type=jnp.float32)
             if has_bias:
                 acc = acc + b_ref[l, :kout, :].T
+            if sig is not None:
+                # [1, B] -> [B, 1] via the proven (X, 1, Y)->(X, Y, 1)
+                # transpose pattern (same op the composite epilogue uses
+                # for w_flat), then a lane-0 masked add
+                B = acc.shape[0]
+                sigT = jnp.transpose(
+                    sig.reshape(1, 1, B), (0, 2, 1)).reshape(B, 1)
+                col = jax.lax.broadcasted_iota(jnp.int32, acc.shape, 1)
+                acc = acc + jnp.where(col == 0, sigT, 0.0)
             return acc
         acc = jnp.dot(wl(w_ref[l, :kout, :kin_h]), h,
                       preferred_element_type=jnp.float32)
@@ -485,6 +559,9 @@ def _encode_and_chain(dims, leaky, has_bias, ad_freqs, xT, w_ref, projT_ref,
         if has_bias:
             acc = acc + b_ref[l, :kout, :]
         if l == n - 1:
+            if sig is not None:
+                row = jax.lax.broadcasted_iota(jnp.int32, acc.shape, 0)
+                acc = acc + jnp.where(row == 0, sig, 0.0)
             return acc
         if leaky:
             acc = jnp.where(acc >= 0, acc, 0.01 * acc)
@@ -509,16 +586,18 @@ def _tmlp_kernel(dims: Tuple[Tuple[int, int, int], ...], leaky: bool,
             pos += 1
         cp_refs = None
         if cp_info is not None:
-            n_ops = len(cp_info[0]) + (2 if cp_info[1] is not None else 0)
+            n_ops = _n_grid_ops(cp_info)
             cp_refs = rest[pos : pos + n_ops]
             pos += n_ops
         out_ref = rest[-1]
         xT = xT_ref[:].astype(jnp.float32)  # [8 or 3, B]
         cp = (None if cp_info is None
               else _cp_block(xT, cp_refs, cp_info, f32_dots))
+        sig = (None if cp_info is None
+               else _sigma_block(xT, cp_refs, cp_info, f32_dots))
         acc = _encode_and_chain(dims, leaky, has_bias, ad_freqs, xT, w_ref,
                                 projT_ref, phase_ref, lmask_ref, b_ref,
-                                f32_dots=f32_dots, cp=cp)
+                                f32_dots=f32_dots, cp=cp, sig=sig)
         kout = dims[-1][2]
         out_ref[:kout] = acc
         if out_rows > kout:
@@ -613,7 +692,7 @@ def _tmlp_composite_kernel(dims, leaky: bool, has_bias: bool, T: int,
             pos += 1
         cp_refs = None
         if cp_info is not None:
-            n_ops = len(cp_info[0]) + (2 if cp_info[1] is not None else 0)
+            n_ops = _n_grid_ops(cp_info)
             cp_refs = rest[pos : pos + n_ops]
             pos += n_ops
         if view is not None:
@@ -623,9 +702,12 @@ def _tmlp_composite_kernel(dims, leaky: bool, has_bias: bool, T: int,
         xT = xT_ref[:].astype(jnp.float32)  # [3 or 8, B]
         cp = (None if cp_info is None
               else _cp_block(xT, cp_refs, cp_info, f32_dots))
+        sig = (None if cp_info is None
+               else _sigma_block(xT, cp_refs, cp_info, f32_dots))
         acc = _encode_and_chain(dims, leaky, has_bias, ad_freqs, xT, w_ref,
                                 projT_ref, phase_ref, lmask_ref, b_ref,
-                                f32_dots, last_bt=True, cp=cp)  # [B, kout]
+                                f32_dots, last_bt=True, cp=cp,
+                                sig=sig)  # [B, kout]
         kout = dims[-1][2]
         B = acc.shape[0]
         R = B // T
@@ -858,6 +940,8 @@ def run_tmlp_composite(xT, dl, ts, layers, enc_freqs: int, bound: float,
                        angle_double: bool = True,
                        rays8=None, view_layers=None, sh_degree: int = 4,
                        cp_lines=None, vm_planes=None, vm_lines=None,
+                       sigma_cp_lines=None, sigma_vm_planes=None,
+                       sigma_vm_lines=None,
                        pack_q: int = 1, T: Optional[int] = None):
     """Final-level field query + alpha composite as ONE kernel.
 
@@ -895,15 +979,20 @@ def run_tmlp_composite(xT, dl, ts, layers, enc_freqs: int, bound: float,
         vgeo, vsh, vrest, (_Hv, n_rest, _) = pack_view_weights(
             view_layers, kout_field - 1, sh_dim, kout_field, dtype=dtype)
         view = (n_rest, sh_dim, sh_degree)
-    if cp_lines is not None or vm_planes is not None:
+    any_grid = (cp_lines is not None or vm_planes is not None
+                or sigma_cp_lines is not None or sigma_vm_planes is not None)
+    if any_grid:
         assert angle_double, "grid features require the angle-doubling encode"
     if angle_double:
         z0_projT, z0_phase, row_map = make_ad_consts(
             enc_freqs, float(np.pi / bound))
         cpT = cp_info = None
-        if cp_lines is not None or vm_planes is not None:
+        if any_grid:
             cpT, cp_info, row_map = _prep_grids(
-                cp_lines, vm_planes, vm_lines, row_map, bound, dtype)
+                cp_lines, vm_planes, vm_lines, row_map, bound, dtype,
+                sigma_cp_lines=sigma_cp_lines,
+                sigma_vm_planes=sigma_vm_planes,
+                sigma_vm_lines=sigma_vm_lines)
         wstack, bias, dims = pack_tmlp_traced(
             layers, len(row_map), skip_layers, dtype, enc_row_map=row_map)
         lmask = jnp.zeros((1, 1), jnp.float32)  # unused on this path

@@ -56,7 +56,8 @@ def lr_schedule(cfg: TrainConfig):
 # MLP lr — TensoRF's split (arXiv:2203.09517: 2e-2 grids vs 1e-3 nets);
 # measured +1.1 dB on the CP import-distillation student. Hash-grid tables
 # keep the reference's single lr (main.py:312).
-GRID_LR_KEYS = ("cp_lines", "vm_planes", "vm_lines")
+GRID_LR_KEYS = ("cp_lines", "vm_planes", "vm_lines",
+                "sigma_cp_lines", "sigma_vm_planes", "sigma_vm_lines")
 
 
 def _grid_lr_mask(params: Params) -> Params:
@@ -80,25 +81,34 @@ def make_optimizer(cfg: TrainConfig, trainable: Optional[Params] = None):
     return tx
 
 
-def grid_upsample_targets(cfg: TrainConfig, mc, step: int):
-    """Target (cp_res, vm_res) for the factorized tables at `step` under
-    cfg.grid_upsample_steps: the configured resolution is the FINAL one;
-    with N milestones still ahead the tables sit N halvings below it
-    (TensoRF §5.2 trains coarse-to-fine and upsamples at milestones)."""
+def grid_upsample_targets(cfg: TrainConfig, mc, step: int) -> dict:
+    """Target resolution per factorized-table family at `step` under
+    cfg.grid_upsample_steps (keys as fields.grid_resolutions): the
+    configured resolution is the FINAL one; with N milestones still ahead
+    the tables sit N halvings below it (TensoRF §5.2 trains coarse-to-fine
+    and upsamples at milestones)."""
     down = sum(1 for m in cfg.grid_upsample_steps if step < m)
-    return (max(8, mc.mlp_cp_res >> down) if mc.mlp_cp_rank > 0 else None,
-            max(8, mc.mlp_vm_res >> down) if mc.mlp_vm_rank > 0 else None)
+    t = {}
+    if mc.mlp_cp_rank > 0:
+        t["cp"] = max(8, mc.mlp_cp_res >> down)
+    if mc.mlp_vm_rank > 0:
+        t["vm"] = max(8, mc.mlp_vm_res >> down)
+    if mc.mlp_sigma_cp_rank > 0:
+        t["sigma_cp"] = max(8, mc.mlp_sigma_cp_res >> down)
+    if mc.mlp_sigma_vm_rank > 0:
+        t["sigma_vm"] = max(8, mc.mlp_sigma_vm_res >> down)
+    return t
 
 
 def resize_grid_state(model: NerfModel, cfg: TrainConfig, state: TrainState,
-                      cp_res, vm_res,
+                      targets: dict,
                       trainable: Optional[Params] = None) -> TrainState:
     """Linear-resample the grid tables (params AND ema) to the target
     resolutions and re-init the optimizer state for the new shapes. The
     optimizer reset restarts the lr schedule — TensoRF's lr_upsample_reset
     behavior (their train loop resets lr at every upsample)."""
-    new_p = fields.resize_grid_tables(model, state.params, cp_res, vm_res)
-    new_e = fields.resize_grid_tables(model, state.ema_params, cp_res, vm_res)
+    new_p = fields.resize_grid_tables(model, state.params, targets)
+    new_e = fields.resize_grid_tables(model, state.ema_params, targets)
     tx = make_optimizer(cfg, trainable)
     return TrainState(params=new_p, ema_params=new_e,
                       opt_state=tx.init(new_p), step=state.step)

@@ -247,17 +247,17 @@ class Trainer:
         targets = state_lib.grid_upsample_targets(
             tc, self.model.cfg, self.global_step)
         current = fields.grid_resolutions(self.state.params)
-        if all(t is None or t == c for t, c in zip(targets, current)):
+        if all(current.get(k) == v for k, v in targets.items()):
             return
         self.state = state_lib.resize_grid_state(
-            self.model, tc, self.state, *targets, trainable=self.trainable)
+            self.model, tc, self.state, targets, trainable=self.trainable)
         if self.mesh is not None:
             from sanerf_tpu.parallel import dp
 
             self.state = dp.replicate_state(self.state, self.mesh)
-        self.log(f"[grid] tables resized to cp_res={targets[0]} "
-                 f"vm_res={targets[1]} at step {self.global_step} "
-                 "(optimizer reset; lr restarts, TensoRF-style)")
+        self.log(f"[grid] tables resized to {targets} at step "
+                 f"{self.global_step} (optimizer reset; lr restarts, "
+                 "TensoRF-style)")
 
     def _get_dp_step(self, batch: Dict):
         """Sharded train step, rebuilt if the batch structure changes

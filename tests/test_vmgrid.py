@@ -183,11 +183,11 @@ def test_grid_upsample_schedule_end_to_end():
                      mlp_prop_depth=2, prop_resolutions=(16,))
     # targets: step 0 -> 8, >=4 -> 16, >=8 -> 32
     assert state_lib.grid_upsample_targets(
-        TrainConfig(grid_upsample_steps=(4, 8)), mc, 0) == (8, 8)
+        TrainConfig(grid_upsample_steps=(4, 8)), mc, 0) == {"cp": 8, "vm": 8}
     assert state_lib.grid_upsample_targets(
-        TrainConfig(grid_upsample_steps=(4, 8)), mc, 5) == (16, 16)
+        TrainConfig(grid_upsample_steps=(4, 8)), mc, 5) == {"cp": 16, "vm": 16}
     assert state_lib.grid_upsample_targets(
-        TrainConfig(grid_upsample_steps=(4, 8)), mc, 8) == (32, 32)
+        TrainConfig(grid_upsample_steps=(4, 8)), mc, 8) == {"cp": 32, "vm": 32}
 
     tc = TrainConfig(iters=12, num_rays=64, adaptive_num_rays=False,
                      grid_upsample_steps=(4, 8), eval_cnt=1, save_cnt=1,
@@ -209,10 +209,10 @@ def test_grid_upsample_schedule_end_to_end():
         tr._maybe_resize_grids = spy
         tr.train(ds, max_epoch=3, steps_per_epoch=4)
         # initial call + one per epoch; coarse -> mid -> final
-        assert seen[0] == (8, 8), seen
-        assert seen[-1] == (32, 32), seen
-        assert (16, 16) in seen, seen
-        assert fields.grid_resolutions(tr.state.params) == (32, 32)
+        assert seen[0] == {"cp": 8, "vm": 8}, seen
+        assert seen[-1] == {"cp": 32, "vm": 32}, seen
+        assert {"cp": 16, "vm": 16} in seen, seen
+        assert fields.grid_resolutions(tr.state.params) == {"cp": 32, "vm": 32}
 
 
 def test_vm_multi_level_matches_per_level_concat():

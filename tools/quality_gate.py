@@ -61,6 +61,12 @@ def run_family(field_type: str, args, mlp_width: int | None = None) -> dict:
         mc = dataclasses.replace(mc, mlp_vm_rank=args.vm_rank,
                                  mlp_vm_res=args.vm_res,
                                  mlp_vm_levels=args.vm_levels)
+    if field_type == "mlp" and args.sigma_cp_rank:
+        mc = dataclasses.replace(mc, mlp_sigma_cp_rank=args.sigma_cp_rank,
+                                 mlp_sigma_cp_res=args.sigma_cp_res)
+    if field_type == "mlp" and args.sigma_vm_rank:
+        mc = dataclasses.replace(mc, mlp_sigma_vm_rank=args.sigma_vm_rank,
+                                 mlp_sigma_vm_res=args.sigma_vm_res)
     tc = TrainConfig(iters=args.iters, num_rays=args.num_rays,
                      adaptive_num_rays=False, lambda_distort=args.distort,
                      lambda_tv=args.tv, lambda_l1_grid=args.l1,
@@ -76,7 +82,11 @@ def run_family(field_type: str, args, mlp_width: int | None = None) -> dict:
                  + (f"_cp{args.cp_rank}" if field_type == "mlp"
                     and args.cp_rank else "")
                  + (f"_vm{args.vm_rank}" if field_type == "mlp"
-                    and args.vm_rank else ""),
+                    and args.vm_rank else "")
+                 + (f"_scp{args.sigma_cp_rank}" if field_type == "mlp"
+                    and args.sigma_cp_rank else "")
+                 + (f"_svm{args.sigma_vm_rank}" if field_type == "mlp"
+                    and args.sigma_vm_rank else ""),
                  render=rc, model=mc, train=tc)
 
     train_ds = SyntheticSphereDataset(H=args.H, W=args.H, n_views=args.views,
@@ -103,6 +113,8 @@ def run_family(field_type: str, args, mlp_width: int | None = None) -> dict:
     out = {"field": field_type, "width": mlp_width,
            "cp_rank": args.cp_rank if field_type == "mlp" else None,
            "vm_rank": args.vm_rank if field_type == "mlp" else None,
+           "sigma_cp": args.sigma_cp_rank if field_type == "mlp" else None,
+           "sigma_vm": args.sigma_vm_rank if field_type == "mlp" else None,
            "psnr": float(res["PSNRMeter"]),
            "ssim": round(float(res["SSIMMeter"]), 4),
            "train_s": round(wall, 1), "iters": args.iters}
@@ -138,6 +150,12 @@ def main(argv=None):
     ap.add_argument("--vm_res", type=int, default=64)
     ap.add_argument("--vm_levels", type=int, default=1,
                     help="multi-res VM ladder levels (rank splits across)")
+    ap.add_argument("--sigma_cp_rank", type=int, default=0,
+                    help="direct-density CP grid rank (TensoRF §4.1)")
+    ap.add_argument("--sigma_cp_res", type=int, default=256)
+    ap.add_argument("--sigma_vm_rank", type=int, default=0,
+                    help="direct-density VM grid per-mode rank")
+    ap.add_argument("--sigma_vm_res", type=int, default=128)
     ap.add_argument("--grid_lr_mult", type=float, default=10.0,
                     help="lr multiplier for CP/VM grid tables")
     ap.add_argument("--upsample_steps", type=int, nargs="*", default=[],
