@@ -133,8 +133,8 @@ class ModelConfig:
     # >1 splits the VM rank over a coarse-to-fine resolution ladder ending
     # at mlp_vm_res (same structure as mlp_cp_levels; total feature count
     # stays 3 * mlp_vm_rank). Requires mlp_vm_rank % mlp_vm_levels == 0.
-    # Multi-level VM renders through the XLA path (the in-kernel _vm_block
-    # consumes a single level).
+    # The fused kernels consume the full ladder in-kernel under cp_fused
+    # (one _vm_block per level, coarse -> fine).
     mlp_vm_levels: int = 1
     # DIRECT density grids (TensoRF's core mechanism, arXiv:2203.09517
     # §4.1: sigma is the plain SUM of factorized-grid components — no MLP

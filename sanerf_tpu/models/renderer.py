@@ -107,8 +107,7 @@ def run_rays(
             and cfg.use_fused_mlp
             and (not model.has_sigma_grid or cfg.cp_fused)
             and (mc.mlp_cp_rank == 0 or cfg.cp_fused)
-            and (mc.mlp_vm_rank == 0
-                 or (cfg.cp_fused and mc.mlp_vm_levels == 1)))
+            and (mc.mlp_vm_rank == 0 or cfg.cp_fused))
     fast_comp = fast and not mc.sum_after_mlp and not return_mask
     # pure-RGB frames additionally fuse the final-level composite into the
     # field kernel's epilogue (fields.field_composite_T)

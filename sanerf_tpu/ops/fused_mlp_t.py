@@ -127,16 +127,17 @@ def _prep_grids(cp_lines, vm_planes, vm_lines, row_map, bound: float, dtype,
     """Normalize the factorized-grid tables into kernel operands.
 
     Returns (operand arrays, grid_info, extended row map) where grid_info
-    = (cp level infos (R, K, scale, offset)..., vm_info or None, padded
+    = (cp level infos (R, K, scale, offset)..., vm level infos..., padded
     total rows, sigma-cp info or None, sigma-vm info or None). Operands:
-    per-CP-level [3, K_i, R_i] transposed tables, then — when VM is on —
+    per-CP-level [3, K_i, R_i] transposed tables, then — per VM ladder
+    level (coarse -> fine, single arrays accepted as a 1-level ladder) —
     [3, K, R, R] mode-major planes (axis order [m, k, row-axis (m+1)%3,
     col-axis (m+2)%3]) and [3, K, Rl] lines; then the DIRECT-density
     sigma tables in the same transposed forms. The appended feature rows
     follow position_features' concat order: [freq, cp levels..., vm
-    modes...]; the sigma tables add NO feature rows — their component-sum
-    goes straight into the density output row (fields.sigma_grid_logit,
-    TensoRF §4.1)."""
+    levels x modes...]; the sigma tables add NO feature rows — their
+    component-sum goes straight into the density output row
+    (fields.sigma_grid_logit, TensoRF §4.1)."""
     ops = []
     cp_infos = ()
     k_total = 0
@@ -148,15 +149,20 @@ def _prep_grids(cp_lines, vm_planes, vm_lines, row_map, bound: float, dtype,
         cp_infos = tuple(
             (int(l.shape[1]), int(l.shape[2]), *_scale_off(l.shape[1], bound))
             for l in levels)
-    vm_info = None
+    vm_infos = ()
     if vm_planes is not None:
-        _, R, _, K = vm_planes.shape
-        Rl = vm_lines.shape[1]
-        k_total += 3 * K
-        ops.append(jnp.transpose(vm_planes, (0, 3, 1, 2)).astype(dtype))
-        ops.append(jnp.swapaxes(vm_lines, 1, 2).astype(dtype))
-        vm_info = (int(R), int(Rl), int(K), *_scale_off(R, bound),
-                   *_scale_off(Rl, bound))
+        plist = (list(vm_planes) if isinstance(vm_planes, (list, tuple))
+                 else [vm_planes])
+        llist = (list(vm_lines) if isinstance(vm_lines, (list, tuple))
+                 else [vm_lines])
+        for p, l in zip(plist, llist):
+            _, R, _, K = p.shape
+            Rl = l.shape[1]
+            k_total += 3 * K
+            ops.append(jnp.transpose(p, (0, 3, 1, 2)).astype(dtype))
+            ops.append(jnp.swapaxes(l, 1, 2).astype(dtype))
+            vm_infos += ((int(R), int(Rl), int(K), *_scale_off(R, bound),
+                          *_scale_off(Rl, bound)),)
     sig_cp = None
     if sigma_cp_lines is not None:
         l = sigma_cp_lines
@@ -173,15 +179,15 @@ def _prep_grids(cp_lines, vm_planes, vm_lines, row_map, bound: float, dtype,
                   *_scale_off(Rl, bound))
     base_rows = len(row_map)
     row_map = extend_row_map_cp(row_map, k_total)
-    info = (cp_infos, vm_info, len(row_map) - base_rows, sig_cp, sig_vm)
+    info = (cp_infos, vm_infos, len(row_map) - base_rows, sig_cp, sig_vm)
     return ops, info, row_map
 
 
 def _n_grid_ops(grid_info) -> int:
     """Number of pallas operands the grid_info describes (unpack helper
     for the kernels' *rest argument list)."""
-    cp_infos, vm_info, _, sig_cp, sig_vm = grid_info
-    return (len(cp_infos) + (2 if vm_info is not None else 0)
+    cp_infos, vm_infos, _, sig_cp, sig_vm = grid_info
+    return (len(cp_infos) + 2 * len(vm_infos)
             + (1 if sig_cp is not None else 0)
             + (2 if sig_vm is not None else 0))
 
@@ -282,17 +288,18 @@ def _cp_block(xT, refs, grid_info, f32_dots: bool):
     CP resolution (coarse -> fine), then the VM modes, zero-padded to the
     8-aligned row count the extended row map reserved. (Sigma operands
     trail the refs list and are consumed by _sigma_block, not here.)"""
-    cp_infos, vm_info, Kp = grid_info[:3]
+    cp_infos, vm_infos, Kp = grid_info[:3]
     B = xT.shape[1]
     if Kp == 0:
         return None
     feats = [_cp_level(xT, r, li, f32_dots)
              for r, li in zip(refs, cp_infos)]
     K = sum(li[1] for li in cp_infos)
-    if vm_info is not None:
-        feats.append(_vm_block(xT, refs[len(cp_infos)],
-                               refs[len(cp_infos) + 1], vm_info, f32_dots))
-        K += 3 * vm_info[2]
+    base = len(cp_infos)
+    for j, vi in enumerate(vm_infos):  # VM ladder coarse -> fine
+        feats.append(_vm_block(xT, refs[base + 2 * j],
+                               refs[base + 2 * j + 1], vi, f32_dots))
+        K += 3 * vi[2]
     if Kp > K:
         feats.append(jnp.zeros((Kp - K, B), feats[0].dtype))
     return feats[0] if len(feats) == 1 else jnp.concatenate(feats, axis=0)
@@ -304,10 +311,10 @@ def _sigma_block(xT, refs, grid_info, f32_dots: bool):
     plain sum over grid components). Returns None when the model has no
     sigma tables. The sigma operands trail the appearance operands in
     `refs` (see _prep_grids)."""
-    cp_infos, vm_info, _, sig_cp, sig_vm = grid_info
+    cp_infos, vm_infos, _, sig_cp, sig_vm = grid_info
     if sig_cp is None and sig_vm is None:
         return None
-    base = len(cp_infos) + (2 if vm_info is not None else 0)
+    base = len(cp_infos) + 2 * len(vm_infos)
     s = None
     if sig_cp is not None:
         f = _cp_level(xT, refs[base], sig_cp, f32_dots)  # [K, B]

@@ -441,3 +441,35 @@ def test_vm_block_matches_vm_features_direct():
                                    (mc.mlp_field_depth // 2,))
     np.testing.assert_allclose(np.asarray(outT[: ref.shape[1]].T),
                                np.asarray(ref), rtol=2e-2, atol=2e-3)
+
+
+def test_vm_multi_level_fused_fast_path_matches_xla_path():
+    """run_rays with cp_fused=True on a multi-level VM ladder (+ CP +
+    sigma tables): the fused kernels consume the FULL ladder in-kernel
+    (one `_vm_block` per level, coarse -> fine) — outputs match the XLA
+    path. This is the 18.57 dB quality recipe's routing: depth-3 decoder
+    over CP/VM ladders must stay on the fast path."""
+    rc = RenderConfig(num_steps=(8, 4), bound=4.0, contract=True,
+                      cp_fused=True)
+    rc_slow = dataclasses.replace(rc, use_fused_mlp=False)
+    mc = ModelConfig(field_type="mlp", mlp_vm_rank=4, mlp_vm_res=16,
+                     mlp_vm_levels=2, mlp_cp_rank=6, mlp_cp_res=16,
+                     mlp_sigma_cp_rank=4, mlp_sigma_cp_res=16,
+                     mlp_enc_freqs=4, mlp_field_width=32, mlp_field_depth=3,
+                     mlp_prop_enc_freqs=3, mlp_prop_width=16,
+                     mlp_prop_depth=2, prop_resolutions=(16,))
+    model_f = fields.make_model(mc, rc)
+    model_s = fields.make_model(mc, rc_slow)
+    params = fields.init_params(model_f, jax.random.key(7))
+    assert isinstance(params["vm_planes"], list)
+    o = jnp.zeros((32, 3)) + jnp.array([0.0, 0.0, 2.0])
+    d = jnp.tile(jnp.array([[0.0, 0.0, -1.0]]), (32, 1))
+    a = renderer.run_rays(model_f, params, o, d)
+    b = renderer.run_rays(model_s, params, o, d)
+    np.testing.assert_allclose(np.asarray(a["image"]),
+                               np.asarray(b["image"]), atol=2e-3)
+    # feature frames exercise the non-epilogue fused path too
+    a = renderer.run_rays(model_f, params, o, d, return_feats=False)
+    b = renderer.run_rays(model_s, params, o, d, return_feats=False)
+    np.testing.assert_allclose(np.asarray(a["depth"]),
+                               np.asarray(b["depth"]), atol=2e-3)
