@@ -56,17 +56,23 @@ _LOGIT_CLIP = 30.0  # pre-activation guard against exp overflow
 
 def student_config(teacher_cfg: ModelConfig, cp_rank: int = 0,
                    cp_res: int = 256, cp_levels: int = 1, vm_rank: int = 0,
-                   vm_res: int = 64, vm_levels: int = 1) -> ModelConfig:
+                   vm_res: int = 64, vm_levels: int = 1,
+                   sigma_cp_rank: int = 0, sigma_cp_res: int = 256,
+                   sigma_vm_rank: int = 0, sigma_vm_res: int = 128,
+                   depth: Optional[int] = None) -> ModelConfig:
     """The MLP-family twin of a hash-grid config: same heads, same feature
     dims, field_type flipped. `cp_rank > 0` gives the student a
     CP-factorized line grid (ops/cpgrid.py), `vm_rank > 0` a TensoRF-VM
-    plane grid (ops/vmgrid.py) — more fitting capacity for high-frequency
-    teachers at matmul-only cost (VM renders via the XLA path)."""
+    plane grid (ops/vmgrid.py), `sigma_*_rank > 0` dedicated DIRECT-density
+    tables — all matmul-only lookups, all consumed in-kernel by the fused
+    inference path under cp_fused (multi-level ladders included). `depth`
+    overrides mlp_field_depth: the measured-best grid student is a SHALLOW
+    decoder (depth 3) over high-resolution ladders."""
     # mask-feature width tracks the teacher's m_grid output
     # (fields.make_model: default 16x8, lightweight 16x2)
     mask_dim = {"default": 128, "lightweight_mask": 32}.get(
         teacher_cfg.mask_mlp_type, teacher_cfg.mlp_mask_feat_dim)
-    return dataclasses.replace(
+    cfg = dataclasses.replace(
         teacher_cfg,
         field_type="mlp",
         mlp_cp_rank=cp_rank,
@@ -75,10 +81,17 @@ def student_config(teacher_cfg: ModelConfig, cp_rank: int = 0,
         mlp_vm_rank=vm_rank,
         mlp_vm_res=vm_res,
         mlp_vm_levels=vm_levels,
+        mlp_sigma_cp_rank=sigma_cp_rank,
+        mlp_sigma_cp_res=sigma_cp_res,
+        mlp_sigma_vm_rank=sigma_vm_rank,
+        mlp_sigma_vm_res=sigma_vm_res,
         mlp_sam_feat_dim=(teacher_cfg.s_grid_num_levels
                           * teacher_cfg.s_grid_level_dim),
         mlp_mask_feat_dim=mask_dim,
     )
+    if depth is not None:
+        cfg = dataclasses.replace(cfg, mlp_field_depth=depth)
+    return cfg
 
 
 def _sample_points(key: jax.Array, n: int, bound: float) -> jax.Array:
@@ -111,6 +124,11 @@ def _student_field(model: NerfModel, params: Params, x: jax.Array) -> jax.Array:
     h = fields.position_features(model, params, x)
     f, _ = fields.apply_skip_mlp(
         params["grid_mlp"], h, (model.cfg.mlp_field_depth // 2,))
+    sg = fields.sigma_grid_logit(model, params, x)
+    if sg is not None:
+        # DIRECT-density tables add into the logit exactly as inference
+        # does (common_forward) — distill the same function that serves
+        f = f.at[..., 0].add(sg.astype(f.dtype))
     return f
 
 
@@ -244,7 +262,8 @@ def distill_to_mlp(
                           "prop": student["prop"]}
     if "cp_lines" in student:
         train_tree["cp_lines"] = student["cp_lines"]
-    for k in ("vm_planes", "vm_lines"):
+    for k in ("vm_planes", "vm_lines",
+              "sigma_cp_lines", "sigma_vm_planes", "sigma_vm_lines"):
         if k in student:
             train_tree[k] = student[k]
     if "sam" in targets:
@@ -256,7 +275,8 @@ def distill_to_mlp(
     # the CP line tables underfit — measured +1.1 dB held-out on the rank-96
     # CP student at 4k distill iters, 12.5 -> 13.6 dB)
     def label(tree):
-        grid_keys = ("cp_lines", "vm_planes", "vm_lines")
+        grid_keys = ("cp_lines", "vm_planes", "vm_lines",
+                     "sigma_cp_lines", "sigma_vm_planes", "sigma_vm_lines")
         # expand to full param structure (multi-res cp_lines is a LIST of
         # tables; multi_transform labels must mirror the leaves)
         return {k: jax.tree.map(

@@ -152,3 +152,33 @@ def test_distill_to_vm_student():
     for k in ("vm_planes", "vm_lines"):
         assert float(jnp.abs(sp[k] - init[k]).max()) > 0, k
     assert np.isfinite(report["losses"]["field"])
+
+
+def test_distill_to_sigma_grid_shallow_student():
+    """The measured-best grid student shape — shallow decoder + DIRECT-
+    density sigma tables: depth override lands, sigma tables join the
+    split-lr fit, and _student_field distills the SAME density function
+    inference serves (logit includes sigma_grid_logit)."""
+    teacher, tparams = _tiny_models()
+    tparams["grid"] = _smooth_tables(teacher.grid_spec, seed=7)
+    for i, p in enumerate(tparams["prop"]):
+        p["grid"] = _smooth_tables(teacher.prop_specs[i], seed=8 + i)
+    scfg = import_distill.student_config(
+        teacher.cfg, cp_rank=8, cp_res=16, sigma_cp_rank=4, sigma_cp_res=16,
+        depth=3)
+    assert scfg.mlp_field_depth == 3
+    student = fields.make_model(scfg, teacher.render_cfg)
+    sm, sp, report = import_distill.distill_to_mlp(
+        teacher, tparams, key=jax.random.key(0), student_model=student,
+        n_points=1 << 13, batch=512, iters=200, render_check=0)
+    init = fields.init_params(sm, jax.random.key(0))
+    assert float(jnp.abs(sp["sigma_cp_lines"] - init["sigma_cp_lines"]).max()) > 0
+    assert np.isfinite(report["losses"]["field"])
+    # distilled function == served function at random points
+    x = jax.random.uniform(jax.random.key(5), (128, 3), minval=-1.5,
+                           maxval=1.5)
+    f = import_distill._student_field(sm, sp, x)
+    sig_served, _, _, _ = fields.common_forward(sm, sp, x)
+    sig_distilled = fields.density_activation(sm, f[..., 0])
+    np.testing.assert_allclose(np.asarray(sig_distilled),
+                               np.asarray(sig_served), rtol=1e-5, atol=1e-6)

@@ -58,6 +58,15 @@ def main(argv=None):
                          "this per-mode rank (XLA-path rendering)")
     ap.add_argument("--vm_res", type=int, default=64)
     ap.add_argument("--vm_levels", type=int, default=1)
+    ap.add_argument("--sigma_cp_rank", type=int, default=0,
+                    help="DIRECT-density CP grid rank for the student "
+                         "(TensoRF §4.1; 0 = off)")
+    ap.add_argument("--sigma_cp_res", type=int, default=256)
+    ap.add_argument("--sigma_vm_rank", type=int, default=0)
+    ap.add_argument("--sigma_vm_res", type=int, default=128)
+    ap.add_argument("--mlp_depth", type=int, default=None,
+                    help="student field-MLP depth override (the "
+                         "measured-best grid student is depth 3)")
     ap.add_argument("--render_check", type=int, default=2,
                     help="orbit frames for the fidelity PSNR (0 = skip)")
     ap.add_argument("--keep_hashgrid", action="store_true",
@@ -92,12 +101,16 @@ def main(argv=None):
     print(f"[import] distilling into the MLP family "
           f"({args.iters} iters, {args.n_points} points)")
     student = None
-    if args.cp_rank or args.vm_rank:
+    if (args.cp_rank or args.vm_rank or args.sigma_cp_rank
+            or args.sigma_vm_rank or args.mlp_depth is not None):
         student = fields.make_model(import_distill.student_config(
             tc, cp_rank=args.cp_rank, cp_res=args.cp_res,
             cp_levels=args.cp_levels,
             vm_rank=args.vm_rank, vm_res=args.vm_res,
-            vm_levels=args.vm_levels), rc)
+            vm_levels=args.vm_levels,
+            sigma_cp_rank=args.sigma_cp_rank, sigma_cp_res=args.sigma_cp_res,
+            sigma_vm_rank=args.sigma_vm_rank, sigma_vm_res=args.sigma_vm_res,
+            depth=args.mlp_depth), rc)
     student_model, sparams, report = import_distill.distill_to_mlp(
         teacher, tparams, key=jax.random.key(0),
         n_points=args.n_points, batch=args.batch, iters=args.iters,
