@@ -62,6 +62,14 @@ class RenderConfig:
     # cost). Off until the packed relayout chain passes a hardware Mosaic
     # compile + A/B check.
     packed_epilogue: bool = False
+    # VMEM budget for the cp_fused kernels' grid-table operands (bytes,
+    # bf16 accounting — NerfModel.grid_table_bytes). TPU VMEM is ~16 MB/
+    # core shared with the packed MLP weights and a [rows, block]
+    # activation slab; models whose tables exceed the budget (e.g. the
+    # hi-res quality recipe's 1024^2 VM planes, ~48 MB) auto-route to the
+    # XLA lookup path — correct, just not fused. Serve those through
+    # tools/import_checkpoint.py's distillation into the w128 flagship.
+    grid_vmem_budget: int = 6 * 2 ** 20
 
     @property
     def grid_bound(self) -> float:

@@ -199,6 +199,34 @@ class NerfModel:
                                       or self.cfg.mlp_sigma_vm_rank > 0)
 
     @property
+    def grid_table_bytes(self) -> int:
+        """Bytes of factorized tables the cp_fused kernels would pin in
+        VMEM (bf16 whole-array operands), computed from the config alone.
+        TPU VMEM is ~16 MB/core and is shared with the packed MLP weights
+        and a [rows, block] activation slab — run_rays refuses the fused
+        fast path when the tables exceed RenderConfig.grid_vmem_budget
+        and serves through the XLA lookup instead (correct either way;
+        the CPU interpret tests can't see the limit, hardware can)."""
+        c = self.cfg
+        if not self.is_mlp_field:
+            return 0
+        total = 0
+        if c.mlp_cp_rank > 0:
+            k = max(1, c.mlp_cp_rank // c.mlp_cp_levels)
+            for r in cpgrid.level_resolutions(c.mlp_cp_res, c.mlp_cp_levels):
+                total += 3 * r * k
+        if c.mlp_vm_rank > 0:
+            k = max(1, c.mlp_vm_rank // c.mlp_vm_levels)
+            for r in cpgrid.level_resolutions(c.mlp_vm_res, c.mlp_vm_levels):
+                total += 3 * (r * r + r) * k
+        if c.mlp_sigma_cp_rank > 0:
+            total += 3 * c.mlp_sigma_cp_res * c.mlp_sigma_cp_rank
+        if c.mlp_sigma_vm_rank > 0:
+            total += (3 * (c.mlp_sigma_vm_res ** 2 + c.mlp_sigma_vm_res)
+                      * c.mlp_sigma_vm_rank)
+        return 2 * total  # bf16 kernel operands
+
+    @property
     def grid_out_dim(self) -> int:
         """Dim of the positional feature feeding grid_mlp (hash-grid output
         or Fourier features)."""

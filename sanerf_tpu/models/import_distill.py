@@ -68,6 +68,18 @@ def student_config(teacher_cfg: ModelConfig, cp_rank: int = 0,
     inference path under cp_fused (multi-level ladders included). `depth`
     overrides mlp_field_depth: the measured-best grid student is a SHALLOW
     decoder (depth 3) over high-resolution ladders."""
+    if teacher_cfg.field_type == "mlp":
+        # MLP-family (grid-augmented) teacher: keep its head feature dims
+        # verbatim (same-family serving distillation) and swap the tables
+        cfg = dataclasses.replace(
+            teacher_cfg,
+            mlp_cp_rank=cp_rank, mlp_cp_res=cp_res, mlp_cp_levels=cp_levels,
+            mlp_vm_rank=vm_rank, mlp_vm_res=vm_res, mlp_vm_levels=vm_levels,
+            mlp_sigma_cp_rank=sigma_cp_rank, mlp_sigma_cp_res=sigma_cp_res,
+            mlp_sigma_vm_rank=sigma_vm_rank, mlp_sigma_vm_res=sigma_vm_res)
+        if depth is not None:
+            cfg = dataclasses.replace(cfg, mlp_field_depth=depth)
+        return cfg
     # mask-feature width tracks the teacher's m_grid output
     # (fields.make_model: default 16x8, lightweight 16x2)
     mask_dim = {"default": 128, "lightweight_mask": 32}.get(
@@ -108,12 +120,18 @@ def _sample_points(key: jax.Array, n: int, bound: float) -> jax.Array:
 
 
 def _teacher_field(model: NerfModel, params: Params, x: jax.Array) -> jax.Array:
+    if model.is_mlp_field:
+        # grid-augmented MLP-family teacher (serving distillation: fit the
+        # hi-res quality recipe into a VMEM-sized serving student)
+        return _student_field(model, params, x)
     h = hashgrid.hash_encode(x, params["grid"], model.grid_spec, model.bound)
     f, _ = fields.apply_mlp(params["grid_mlp"], h)
     return f  # [N, 1+geo] raw logits
 
 
 def _teacher_prop(model: NerfModel, params: Params, i: int, x: jax.Array):
+    if model.is_mlp_field:
+        return _student_prop(model, params, i, x)
     p = params["prop"][i]
     h = hashgrid.hash_encode(x, p["grid"], model.prop_specs[i], model.bound)
     f, _ = fields.apply_mlp(p["mlp"], h)
@@ -149,12 +167,14 @@ def _log_density(f0: jax.Array, mlp_family: bool) -> jax.Array:
     return jnp.log1p(sigma)
 
 
-def _match_loss(student: jax.Array, target: jax.Array) -> jax.Array:
+def _match_loss(student: jax.Array, target: jax.Array,
+                teacher_mlp: bool = False) -> jax.Array:
     """log-density + feature MSE; column 0 is the raw density logit
-    (student: MLP family, target: hashgrid family)."""
+    (student: MLP family; target density decodes under the teacher's own
+    activation — trunc-exp for hashgrid, shifted-softplus for MLP)."""
     l_sigma = jnp.mean(
         (_log_density(student[..., 0], True)
-         - _log_density(target[..., 0], False)) ** 2)
+         - _log_density(target[..., 0], teacher_mlp)) ** 2)
     if student.shape[-1] > 1:
         l_feat = jnp.mean((student[..., 1:] - target[..., 1:]) ** 2)
     else:
@@ -205,11 +225,25 @@ def build_targets(
             lambda q: hashgrid.hash_encode(
                 q, teacher_params["s_grid"], teacher_model.s_grid_spec,
                 teacher_model.bound), x, chunk)
+    elif c.with_sam and "s_field_mlp" in teacher_params:
+        # MLP-family teacher: its per-point SAM features come from the
+        # s_field_mlp over its (possibly grid-augmented) features
+        targets["sam"] = _eval_chunked(
+            lambda q: fields.apply_mlp(
+                teacher_params["s_field_mlp"],
+                fields.position_features(teacher_model, teacher_params,
+                                         q))[0], x, chunk)
     if c.with_mask and "m_grid" in teacher_params:
         targets["mask"] = _eval_chunked(
             lambda q: hashgrid.hash_encode(
                 q, teacher_params["m_grid"], teacher_model.m_grid_spec,
                 teacher_model.bound), x, chunk)
+    elif c.with_mask and "m_field_mlp" in teacher_params:
+        targets["mask"] = _eval_chunked(
+            lambda q: fields.apply_mlp(
+                teacher_params["m_field_mlp"],
+                fields.position_features(teacher_model, teacher_params,
+                                         q))[0], x, chunk)
     return x, targets
 
 
@@ -240,9 +274,12 @@ def distill_to_mlp(
     """
     import optax
 
-    if teacher_model.is_mlp_field:
-        raise ValueError("teacher must be the hashgrid family")
+    teacher_mlp = teacher_model.is_mlp_field
     if student_model is None:
+        # hashgrid teacher -> the flagship MLP twin; MLP-family (grid)
+        # teacher -> the same config with the tables stripped (the
+        # serving-distillation default: quality recipe -> fused-path
+        # student that fits the VMEM budget)
         student_model = fields.make_model(
             student_config(teacher_model.cfg), teacher_model.render_cfg)
 
@@ -297,10 +334,12 @@ def distill_to_mlp(
         p = dict(student)
         p.update(tp)
         losses = {"field": _match_loss(
-            _student_field(student_model, p, xb), tb["field"])}
+            _student_field(student_model, p, xb), tb["field"],
+            teacher_mlp=teacher_mlp)}
         for i in range(len(student_model.cfg.prop_resolutions)):
             losses[f"prop{i}"] = _match_loss(
-                _student_prop(student_model, p, i, xb), tb[f"prop{i}"])
+                _student_prop(student_model, p, i, xb), tb[f"prop{i}"],
+                teacher_mlp=teacher_mlp)
         if "sam" in tb:
             h = fields.position_features(student_model, p, xb)
             out, _ = fields.apply_mlp(p["s_field_mlp"], h)

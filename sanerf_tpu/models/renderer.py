@@ -103,11 +103,13 @@ def run_rays(
     all_bins, all_weights = [], []
     save_inter = mc.with_mask and mc.mask_mlp_type == "adaptive"
     # inference fast path: transposed fused encode+MLP kernels (no VJP)
+    has_grids = (mc.mlp_cp_rank > 0 or mc.mlp_vm_rank > 0
+                 or model.has_sigma_grid)
     fast = (model.is_mlp_field and not training and not save_inter
             and cfg.use_fused_mlp
-            and (not model.has_sigma_grid or cfg.cp_fused)
-            and (mc.mlp_cp_rank == 0 or cfg.cp_fused)
-            and (mc.mlp_vm_rank == 0 or cfg.cp_fused))
+            and (not has_grids
+                 or (cfg.cp_fused
+                     and model.grid_table_bytes <= cfg.grid_vmem_budget)))
     fast_comp = fast and not mc.sum_after_mlp and not return_mask
     # pure-RGB frames additionally fuse the final-level composite into the
     # field kernel's epilogue (fields.field_composite_T)

@@ -182,3 +182,48 @@ def test_distill_to_sigma_grid_shallow_student():
     sig_distilled = fields.density_activation(sm, f[..., 0])
     np.testing.assert_allclose(np.asarray(sig_distilled),
                                np.asarray(sig_served), rtol=1e-5, atol=1e-6)
+
+
+def test_serving_distill_from_grid_teacher():
+    """MLP-family (grid-augmented) teacher -> tables-stripped serving
+    student: the same distillation machinery fits the quality recipe into
+    a fused-path student (tools/distill_serving.py's core). The teacher's
+    density decodes under ITS OWN activation (shifted-softplus), and the
+    default student strips the tables but keeps every head dim."""
+    rc = RenderConfig(num_steps=(16, 8), bound=2.0, contract=True,
+                      min_near=0.05)
+    tc = ModelConfig(field_type="mlp", mlp_cp_rank=8, mlp_cp_res=32,
+                     mlp_sigma_cp_rank=4, mlp_sigma_cp_res=32,
+                     mlp_field_width=32, mlp_field_depth=3,
+                     mlp_enc_freqs=4, mlp_prop_enc_freqs=3,
+                     mlp_prop_width=16, mlp_prop_depth=2,
+                     prop_resolutions=(8, 16))
+    teacher = fields.make_model(tc, rc)
+    tparams = fields.init_params(teacher, jax.random.key(1))
+    # give the tables real content so there is something to fit
+    tparams["cp_lines"] = 0.5 * jax.random.normal(
+        jax.random.key(2), tparams["cp_lines"].shape)
+    sm, sp, report = import_distill.distill_to_mlp(
+        teacher, tparams, key=jax.random.key(0),
+        n_points=1 << 13, batch=512, iters=300, render_check=0)
+    # default serving student: same family, tables stripped
+    assert sm.is_mlp_field
+    assert sm.cfg.mlp_cp_rank == 0 and sm.cfg.mlp_sigma_cp_rank == 0
+    assert "cp_lines" not in sp and "sigma_cp_lines" not in sp
+    assert sm.cfg.mlp_field_width == tc.mlp_field_width
+    assert np.isfinite(report["losses"]["field"])
+    # the fit actually tracks the teacher's density field
+    x = jax.random.uniform(jax.random.key(5), (512, 3), minval=-1.5,
+                           maxval=1.5)
+    t_sig = fields.density_activation(
+        teacher, import_distill._teacher_field(teacher, tparams, x)[..., 0])
+    s_sig = fields.density_activation(
+        sm, import_distill._student_field(sm, sp, x)[..., 0])
+    init_sp = fields.init_params(sm, jax.random.key(9))
+    s0_sig = fields.density_activation(
+        sm, import_distill._student_field(sm, init_sp, x)[..., 0])
+    # compare in the matched (log1p) space
+    lt = np.log1p(np.asarray(t_sig))
+    err = np.mean((lt - np.log1p(np.asarray(s_sig))) ** 2)
+    err0 = np.mean((lt - np.log1p(np.asarray(s0_sig))) ** 2)
+    assert err < err0, (err, err0)

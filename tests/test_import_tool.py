@@ -85,3 +85,31 @@ def test_import_distills_to_mlp(pth_file, tmp_path, monkeypatch, capsys):
     np.testing.assert_allclose(
         np.asarray(params["view_mlp"][0]["w"]),
         obj["view_mlp.net.0.weight"].numpy().T, rtol=1e-6)
+
+
+def test_distill_serving_tool(tmp_path):
+    """tools/distill_serving.py end-to-end: a grid-augmented workspace
+    checkpoint distills into a tables-stripped serving checkpoint (the
+    quality->serving split for models over the VMEM budget)."""
+    import os
+
+    import tools.distill_serving as tool
+    from sanerf_tpu.apps.main import build_parser, config_from_args
+
+    ws = str(tmp_path / "teacher_ws")
+    flags = ["dummy_path", "--workspace", ws,
+             "--cp_rank", "8", "--cp_res", "32",
+             "--sigma_cp_rank", "4", "--sigma_cp_res", "32",
+             "--mlp_depth", "3"]
+    cfg = config_from_args(build_parser().parse_known_args(flags)[0])
+    model = fields.make_model(cfg.model, cfg.render)
+    params = fields.init_params(model, jax.random.key(0))
+    CheckpointManager(ws, name="ngp").save(5, params, ema_params=params,
+                                           full=False)
+    out_ws = str(tmp_path / "serve_ws")
+    tool.main(flags + ["--out_workspace", out_ws,
+                       "--distill_iters", "60",
+                       "--distill_points", str(1 << 12),
+                       "--distill_batch", "256", "--render_check", "0"])
+    saved = os.listdir(os.path.join(out_ws, "checkpoints"))
+    assert any(f.endswith(".npz") for f in saved), saved

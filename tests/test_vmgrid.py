@@ -473,3 +473,35 @@ def test_vm_multi_level_fused_fast_path_matches_xla_path():
     b = renderer.run_rays(model_s, params, o, d, return_feats=False)
     np.testing.assert_allclose(np.asarray(a["depth"]),
                                np.asarray(b["depth"]), atol=2e-3)
+
+
+def test_grid_vmem_budget_guards_fused_path():
+    """Models whose factorized tables exceed RenderConfig.grid_vmem_budget
+    must NOT take the fused fast path even with cp_fused=True (the kernels
+    pin tables in ~16 MB/core VMEM; oversized models route to the XLA
+    lookup). grid_table_bytes accounts ladders level-by-level."""
+    rc = RenderConfig(num_steps=(8, 4), bound=4.0, contract=True,
+                      cp_fused=True)
+    big = ModelConfig(field_type="mlp", mlp_vm_rank=32, mlp_vm_res=1024,
+                      mlp_vm_levels=4, mlp_enc_freqs=4, mlp_field_width=32,
+                      mlp_field_depth=3, mlp_prop_enc_freqs=3,
+                      mlp_prop_width=16, mlp_prop_depth=2,
+                      prop_resolutions=(16,))
+    small = dataclasses.replace(big, mlp_vm_res=32)
+    m_big = fields.make_model(big, rc)
+    m_small = fields.make_model(small, rc)
+    # finest level alone: 3 * (1024^2 + 1024) * 8 * 2B > 48 MB
+    assert m_big.grid_table_bytes > 6 * 2 ** 20
+    assert m_small.grid_table_bytes <= 6 * 2 ** 20
+    # routing: the big model's fused render must equal the XLA path
+    # because it IS the XLA path (and not crash trying to pin 48 MB)
+    params = fields.init_params(m_big, jax.random.key(0))
+    o = jnp.zeros((16, 3)) + jnp.array([0.0, 0.0, 2.0])
+    d = jnp.tile(jnp.array([[0.0, 0.0, -1.0]]), (16, 1))
+    a = renderer.run_rays(m_big, params, o, d)
+    b = renderer.run_rays(
+        fields.make_model(
+            big, dataclasses.replace(rc, use_fused_mlp=False)),
+        params, o, d)
+    np.testing.assert_array_equal(np.asarray(a["image"]),
+                                  np.asarray(b["image"]))
