@@ -43,6 +43,10 @@ def main(argv=None):
     ap.add_argument("--out_workspace", required=True,
                     help="workspace for the serving checkpoint")
     ap.add_argument("--out_name", default="ngp")
+    ap.add_argument("--teacher_name", default=None,
+                    help="teacher checkpoint name prefix in the workspace "
+                         "(default: same as --out_name; quality_gate "
+                         "workspaces use the family name, e.g. 'mlp')")
     ap.add_argument("--distill_iters", type=int, default=8000)
     ap.add_argument("--distill_points", type=int, default=1 << 22)
     ap.add_argument("--distill_batch", type=int, default=1 << 15)
@@ -70,7 +74,8 @@ def main(argv=None):
     cfg = config_from_args(args)
     teacher = fields.make_model(cfg.model, cfg.render)
     template = fields.init_params(teacher, jax.random.key(0))
-    mgr = CheckpointManager(args.workspace, name=args.out_name)
+    mgr = CheckpointManager(args.workspace,
+                            name=args.teacher_name or args.out_name)
     restored = mgr.load(args.ckpt, template, model_only=True)
     if restored is None:
         raise SystemExit(f"no checkpoint in {args.workspace} "
