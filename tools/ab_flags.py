@@ -29,6 +29,14 @@ COMBOS = [
     ("cp96+vm16_fused", {"cp_fused": True, "packed_epilogue": True},
      {"mlp_cp_rank": 96, "mlp_cp_res": 256, "mlp_vm_rank": 16,
       "mlp_vm_res": 64}),
+    # the serving-student shape tools/distill_serving.py produces from the
+    # hi-res quality recipe (depth-3 decoder, VMEM-sized tables incl. a
+    # direct-density sigma grid) — its fps is the quality family's
+    # interactive number
+    ("serving_grids", {"cp_fused": True},
+     {"mlp_field_depth": 3, "mlp_cp_rank": 96, "mlp_cp_res": 256,
+      "mlp_vm_rank": 16, "mlp_vm_res": 64,
+      "mlp_sigma_cp_rank": 32, "mlp_sigma_cp_res": 256}),
     # T=24 block retune (the 4096/16384 defaults were tuned at T=32)
     ("block2048", {"fused_block": 2048}, {}),
     ("block8192", {"fused_block": 8192}, {}),
