@@ -25,6 +25,7 @@ family (reference consumption: nerf/network.py:221-229, 248-259).
 from __future__ import annotations
 
 import functools
+import math
 from typing import Optional, Sequence, Tuple
 
 import jax
@@ -976,7 +977,13 @@ def run_tmlp_composite(xT, dl, ts, layers, enc_freqs: int, bound: float,
         assert T is not None and dl.ndim == 3 and dl.shape[1] == pack_q * T
     else:
         T = dl.shape[1]
-    block = max(block // (T * pack_q), 1) * (T * pack_q)
+    # whole rays per block; on hardware the xT block's lane dim must also
+    # be a multiple of 128 (Mosaic block-shape rule — interpret mode does
+    # not enforce it, so e.g. T=24 -> block 4080 only fails on-chip)
+    unit = T * pack_q
+    if not interpret:
+        unit = unit * 128 // math.gcd(unit, 128)
+    block = max(block // unit, 1) * unit
     view = None
     vgeo = vsh = vrest = None
     if view_layers is not None:
