@@ -41,9 +41,11 @@ class RenderConfig:
     # compute their CP line / VM plane features INSIDE the fused kernels
     # (one-hot MXU contractions; _cp_block/_vm_block in ops/fused_mlp_t.py).
     # Interpret-mode parity is proven (tests/test_cpgrid.py,
-    # tests/test_vmgrid.py); default off until the kernels get a hardware
-    # Mosaic compile check (TPU-relay outage blocked it)
-    cp_fused: bool = False
+    # tests/test_vmgrid.py) AND the Mosaic lowering is hardware-verified
+    # (tools/hw_parity.py, round 4: serving/cp_ladder/vm_ladder shapes all
+    # match the XLA path on a v5e chip) — default ON. Oversized tables
+    # still auto-route to the XLA path via grid_vmem_budget.
+    cp_fused: bool = True
     # point-axis block sizes for the fused transposed kernels (rounded to
     # a multiple of T in-kernel). Tuned at T=32; exposed so the T=24
     # primary hierarchy can re-tune on hardware (tools/ab_flags.py).
@@ -52,15 +54,17 @@ class RenderConfig:
     # do the [3, N, T] -> [3, N*T] pivot between the ray-geometry kernels
     # and the fused MLP kernels in a VMEM Pallas kernel
     # (ops/ray_kernels.flatten3_nt) instead of XLA's windowed-loop reshape
-    # (~4.8 ms/frame at 512^2). Off until the transpose chain passes a
-    # hardware Mosaic compile + A/B check.
+    # (~4.8 ms/frame at 512^2). Hardware A/B (round 4, tools/ab_flags.py):
+    # +12.2 ms/frame vs baseline on a v5e chip — the Pallas transpose
+    # chain loses to XLA's reshape; stays off.
     flatten_kernel: bool = False
     # lane-pack the composite kernel's per-ray epilogue: q = 128//T rays
     # (power of two) share one 128-lane row, so the transcendental-heavy
     # weights pipeline runs at ~full lane utilization instead of T/128
     # (~14 ms/frame of per-ray VPU work at 512^2, the largest non-matmul
-    # cost). Off until the packed relayout chain passes a hardware Mosaic
-    # compile + A/B check.
+    # cost). Hardware A/B (round 4, tools/ab_flags.py): +20.4 ms/frame vs
+    # baseline on a v5e chip — the packed relayout costs more than the
+    # lane under-utilization it recovers; stays off.
     packed_epilogue: bool = False
     # VMEM budget for the cp_fused kernels' grid-table operands (bytes,
     # bf16 accounting — NerfModel.grid_table_bytes). TPU VMEM is ~16 MB/

@@ -281,6 +281,21 @@ class NerfModel:
 
 
 def make_model(cfg: ModelConfig, render_cfg: RenderConfig) -> NerfModel:
+    # the 'sam' adaptive mask ladder consumes samvit_mlp intermediate
+    # activations (sam_inter[0..3], renderer.py) — it requires a SAM head
+    # on the same model and at least 5 samvit layers; reject at build time
+    # rather than IndexError at trace time (network.py:143-203)
+    if cfg.with_mask and cfg.mask_mlp_type == "adaptive" \
+            and cfg.adaptive_mlp_type == "sam":
+        if not cfg.with_sam:
+            raise ValueError(
+                "adaptive_mlp_type='sam' requires with_sam=True: the mask "
+                "ladder consumes samvit_mlp intermediate activations")
+        if cfg.samvit_mlp_layers < 5:
+            raise ValueError(
+                "adaptive_mlp_type='sam' needs samvit_mlp_layers >= 5 "
+                f"(got {cfg.samvit_mlp_layers}): the ladder taps 4 "
+                "intermediate samvit activations")
     if cfg.field_type == "mlp":
         grid_spec = None
         prop_specs = tuple(None for _ in cfg.prop_resolutions)

@@ -105,8 +105,12 @@ def run_rays(
     # inference fast path: transposed fused encode+MLP kernels (no VJP)
     has_grids = (mc.mlp_cp_rank > 0 or mc.mlp_vm_rank > 0
                  or model.has_sigma_grid)
+    # the transposed kernels cannot express a skip connection AT the last
+    # layer (the skip dot needs a following layer to feed) — the field
+    # MLP's skip sits at depth//2, which collides only for depth <= 2
+    skip_ok = mc.mlp_field_depth // 2 != mc.mlp_field_depth - 1
     fast = (model.is_mlp_field and not training and not save_inter
-            and cfg.use_fused_mlp
+            and cfg.use_fused_mlp and skip_ok
             and (not has_grids
                  or (cfg.cp_fused
                      and model.grid_table_bytes <= cfg.grid_vmem_budget)))
