@@ -24,8 +24,11 @@ from __future__ import annotations
 import argparse
 import dataclasses
 import json
+import os
 import sys
 import time
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
 
 def run_family(field_type: str, args, mlp_width: int | None = None) -> dict:
