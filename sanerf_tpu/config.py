@@ -373,3 +373,17 @@ class Config:
 def replace(cfg, **kw):
     """dataclasses.replace that works on any of the frozen configs."""
     return dataclasses.replace(cfg, **kw)
+
+
+def config_from_dict(cls, d: dict):
+    """Rebuild a frozen config from a JSON dict (dataclasses.asdict round
+    trip): JSON turns tuples into lists, so list values land on
+    tuple-typed fields as tuples again. Unknown keys are ignored so old
+    serialized configs keep loading after fields are added."""
+    names = {f.name: f for f in dataclasses.fields(cls)}
+    kw = {}
+    for k, v in d.items():
+        if k not in names:
+            continue
+        kw[k] = tuple(v) if isinstance(v, list) else v
+    return cls(**kw)

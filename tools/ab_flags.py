@@ -37,6 +37,14 @@ COMBOS = [
      {"mlp_field_depth": 3, "mlp_cp_rank": 96, "mlp_cp_res": 256,
       "mlp_vm_rank": 16, "mlp_vm_res": 64,
       "mlp_sigma_cp_rank": 32, "mlp_sigma_cp_res": 256}),
+    # student-shape frontier: CP-only variants dodge the VM plane cost
+    ("serving_cponly", {"cp_fused": True},
+     {"mlp_field_depth": 3, "mlp_cp_rank": 96, "mlp_cp_res": 256,
+      "mlp_sigma_cp_rank": 32, "mlp_sigma_cp_res": 256}),
+    ("serving_cp512", {"cp_fused": True},
+     {"mlp_field_depth": 3, "mlp_cp_rank": 128, "mlp_cp_res": 512,
+      "mlp_cp_levels": 2, "mlp_sigma_cp_rank": 32,
+      "mlp_sigma_cp_res": 512}),
     # T=24 block retune (the 4096/16384 defaults were tuned at T=32)
     ("block2048", {"fused_block": 2048}, {}),
     ("block8192", {"fused_block": 8192}, {}),
@@ -63,7 +71,10 @@ def main():
             continue
         t0 = time.time()
         try:
-            sess = _build_session(steps, rc_over, mc_over, size=args.size)
+            # use_asset=False: A/B measures SHAPES with random params — the
+            # committed serving asset must not leak its config into combos
+            sess, _ = _build_session(steps, rc_over, mc_over, size=args.size,
+                                     use_asset=False)
             dt, compile_s = _drive(sess, n_frames=args.frames)
             rows.append((name, dt * 1000, compile_s))
             print(f"{name:20s} {dt*1000:8.1f} ms/frame  "

@@ -110,6 +110,19 @@ def main(argv=None):
         k: v for k, v in report.items() if k != "losses"}}
     out["losses"] = {k: round(float(v), 6)
                      for k, v in report["losses"].items()}
+    # asset metadata: everything bench.py needs to rebuild and serve the
+    # student standalone (the one-artifact fps+dB measurement)
+    import dataclasses as _dc
+
+    meta_path = os.path.join(args.out_workspace, "serving_meta.json")
+    with open(meta_path, "w") as f:
+        json.dump({
+            "model_config": _dc.asdict(sm.cfg),
+            "render_config": _dc.asdict(cfg.render),
+            "teacher_step": meta.get("step"),
+            "report": {k: v for k, v in out.items() if k != "checkpoint"},
+        }, f, indent=1, default=str)
+    out["meta"] = meta_path
     print(json.dumps(out))
 
 

@@ -1,0 +1,146 @@
+"""Two-stage pipeline wall-clock on hardware with the REAL teacher shape.
+
+The reference trains stage 1 (RGB, 20k iters) + stage 2 (SAM-feature
+distillation, 5k iters with a ViT-H teacher refreshed every 4th step) in
+~1 h/scene on a V100 (readme.md:28, scripts/run1.sh). This tool measures
+the same pipeline end-to-end on the chip with the teacher at its REAL
+computational shape — the full 641M-param ViT-H encoder forward at 1024^2
+in bf16 (weights random: no checkpoint ships in this environment; encoder
+cost is weight-independent) — and prints one JSON line:
+
+  {"stage1_s": ..., "stage2_s": ..., "teacher_ms_per_frame": ...,
+   "stage2_it_s": ..., "total_min": ..., "vs_v100_hours": 1.0}
+
+Usage: python tools/two_stage_wall.py [--iters1 20000] [--iters2 5000]
+       (defaults are the reference recipe scale; --quick for a smoke run)
+"""
+
+import argparse
+import dataclasses
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--iters1", type=int, default=20000)
+    ap.add_argument("--iters2", type=int, default=5000)
+    ap.add_argument("--H", type=int, default=128)
+    ap.add_argument("--views", type=int, default=24)
+    ap.add_argument("--num_rays", type=int, default=4096)
+    ap.add_argument("--online_resolution", type=int, default=512)
+    ap.add_argument("--quick", action="store_true",
+                    help="200/100 iters (pipeline smoke, not the headline)")
+    ap.add_argument("--workspace", default="/tmp/two_stage")
+    args = ap.parse_args(argv)
+    if args.quick:
+        args.iters1, args.iters2 = 200, 100
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from sanerf_tpu.config import Config, ModelConfig, RenderConfig, TrainConfig
+    from sanerf_tpu.data.synthetic import SyntheticSphereDataset
+    from sanerf_tpu.models import fields
+    from sanerf_tpu.models.sam import SamConfig
+    from sanerf_tpu.models.sam import image_encoder as ie
+    from sanerf_tpu.models.sam import predictor as predictor_mod
+    from sanerf_tpu.train import checkpoints as ckpt_lib
+    from sanerf_tpu.train.distill import SamDistillTrainer
+    from sanerf_tpu.train.trainer import Trainer
+
+    try:
+        jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:
+        pass
+
+    rc = RenderConfig(num_steps=(128, 64, 32), bound=4.0, contract=True,
+                      min_near=0.5, max_ray_batch=args.online_resolution ** 2)
+    mc1 = ModelConfig(field_type="mlp", prop_resolutions=(128, 256))
+    tc1 = TrainConfig(iters=args.iters1, num_rays=args.num_rays,
+                      adaptive_num_rays=True, eval_cnt=1, save_cnt=1)
+    ds = SyntheticSphereDataset(H=args.H, W=args.H, n_views=args.views,
+                                scene="textured")
+
+    # ---- stage 1 ----------------------------------------------------------
+    cfg1 = Config(workspace=os.path.join(args.workspace, "s1"),
+                  render=rc, model=mc1, train=tc1)
+    model1 = fields.make_model(mc1, rc)
+    tr1 = Trainer("s1", cfg1, model1, workspace=cfg1.workspace,
+                  use_checkpoint="scratch")
+    t0 = time.time()
+    spe = min(500, args.iters1)
+    tr1.train(ds, max_epoch=max(1, args.iters1 // spe), steps_per_epoch=spe)
+    stage1_s = time.time() - t0
+    ckpt = tr1.ckpt_mgr.list_checkpoints()[-1]
+
+    # ---- the REAL-shape teacher ------------------------------------------
+    # full ViT-H at 1024^2 in bf16 (the production inference dtype), jitted
+    sam_cfg = SamConfig()
+    enc_params = ie.init_params(sam_cfg.vit, jax.random.key(7))
+    enc_params = fields.cast_params(enc_params, jnp.bfloat16)
+
+    @jax.jit
+    def encode(x):
+        return ie.encode(sam_cfg.vit, enc_params, x)
+
+    def teacher(img_uint8: np.ndarray) -> jax.Array:
+        x = ie.preprocess(jnp.asarray(img_uint8), sam_cfg.vit.img_size)
+        feats = encode(x)  # [1, 64, 64, 256]
+        return feats[0].astype(jnp.float32)
+
+    # teacher ms/frame (steady state, forced fetch)
+    dummy = np.random.default_rng(0).integers(
+        0, 255, (args.online_resolution, args.online_resolution, 3),
+        dtype=np.uint8).astype(np.uint8)
+    np.asarray(teacher(dummy))  # compile
+    times = []
+    for _ in range(5):
+        t = time.time()
+        np.asarray(teacher(dummy))
+        times.append(time.time() - t)
+    teacher_ms = float(np.median(times)) * 1000
+
+    # ---- stage 2 ----------------------------------------------------------
+    mc2 = dataclasses.replace(mc1, with_sam=True, sam_use_view_direction=True)
+    model2 = fields.make_model(mc2, rc)
+    params2 = fields.init_params(model2, jax.random.key(1))
+    merged, trainable = ckpt_lib.load_partial_and_freeze(ckpt, params2)
+    cfg2 = Config(
+        workspace=os.path.join(args.workspace, "s2"), render=rc, model=mc2,
+        train=dataclasses.replace(tc1, iters=args.iters2, lr=5e-3),
+        sam=dataclasses.replace(
+            Config().sam, online_resolution=args.online_resolution),
+    )
+    tr2 = SamDistillTrainer("s2", cfg2, model2, teacher=teacher,
+                            workspace=cfg2.workspace,
+                            use_checkpoint="scratch", trainable=trainable,
+                            init_params=merged)
+    t0 = time.time()
+    spe2 = min(500, args.iters2)
+    tr2.train(ds, max_epoch=max(1, args.iters2 // spe2),
+              steps_per_epoch=spe2)
+    stage2_s = time.time() - t0
+
+    total_min = (stage1_s + stage2_s) / 60
+    print(json.dumps({
+        "stage1_s": round(stage1_s, 1),
+        "stage1_iters": args.iters1,
+        "stage2_s": round(stage2_s, 1),
+        "stage2_iters": args.iters2,
+        "stage2_it_s": round(args.iters2 / stage2_s, 2),
+        "teacher_ms_per_frame": round(teacher_ms, 1),
+        "total_min": round(total_min, 1),
+        "vs_v100_hours": 1.0,
+        "device": jax.devices()[0].device_kind,
+    }))
+
+
+if __name__ == "__main__":
+    main()
