@@ -198,7 +198,8 @@ def build_targets(
     x = _sample_points(kx, n_points, teacher_model.bound)
 
     f_field = _eval_chunked(
-        lambda q: _teacher_field(teacher_model, teacher_params, q), x, chunk)
+        lambda tp, q: _teacher_field(teacher_model, tp, q),
+        teacher_params, x, chunk)
     # importance pass: points near content get a jittered twin replacing
     # the emptiest third of the pool
     order = jnp.argsort(f_field[:, 0])
@@ -213,44 +214,49 @@ def build_targets(
 
     targets = {
         "field": _eval_chunked(
-            lambda q: _teacher_field(teacher_model, teacher_params, q),
-            x, chunk),
+            lambda tp, q: _teacher_field(teacher_model, tp, q),
+            teacher_params, x, chunk),
     }
     for i in range(len(c.prop_resolutions)):
         targets[f"prop{i}"] = _eval_chunked(
-            lambda q, i=i: _teacher_prop(teacher_model, teacher_params, i, q),
-            x, chunk)
+            lambda tp, q, i=i: _teacher_prop(teacher_model, tp, i, q),
+            teacher_params, x, chunk)
     if c.with_sam and "s_grid" in teacher_params:
         targets["sam"] = _eval_chunked(
-            lambda q: hashgrid.hash_encode(
-                q, teacher_params["s_grid"], teacher_model.s_grid_spec,
-                teacher_model.bound), x, chunk)
+            lambda tp, q: hashgrid.hash_encode(
+                q, tp["s_grid"], teacher_model.s_grid_spec,
+                teacher_model.bound), teacher_params, x, chunk)
     elif c.with_sam and "s_field_mlp" in teacher_params:
         # MLP-family teacher: its per-point SAM features come from the
         # s_field_mlp over its (possibly grid-augmented) features
         targets["sam"] = _eval_chunked(
-            lambda q: fields.apply_mlp(
-                teacher_params["s_field_mlp"],
-                fields.position_features(teacher_model, teacher_params,
-                                         q))[0], x, chunk)
+            lambda tp, q: fields.apply_mlp(
+                tp["s_field_mlp"],
+                fields.position_features(teacher_model, tp, q))[0],
+            teacher_params, x, chunk)
     if c.with_mask and "m_grid" in teacher_params:
         targets["mask"] = _eval_chunked(
-            lambda q: hashgrid.hash_encode(
-                q, teacher_params["m_grid"], teacher_model.m_grid_spec,
-                teacher_model.bound), x, chunk)
+            lambda tp, q: hashgrid.hash_encode(
+                q, tp["m_grid"], teacher_model.m_grid_spec,
+                teacher_model.bound), teacher_params, x, chunk)
     elif c.with_mask and "m_field_mlp" in teacher_params:
         targets["mask"] = _eval_chunked(
-            lambda q: fields.apply_mlp(
-                teacher_params["m_field_mlp"],
-                fields.position_features(teacher_model, teacher_params,
-                                         q))[0], x, chunk)
+            lambda tp, q: fields.apply_mlp(
+                tp["m_field_mlp"],
+                fields.position_features(teacher_model, tp, q))[0],
+            teacher_params, x, chunk)
     return x, targets
 
 
-def _eval_chunked(fn, x: jax.Array, chunk: int) -> jax.Array:
+def _eval_chunked(fn, params, x: jax.Array, chunk: int) -> jax.Array:
+    """Chunked jitted eval. `params` rides as a jit ARGUMENT, never a
+    closure constant: closed-over tables are baked into the HLO payload,
+    which at quality-recipe scale (~100 MB of CP/VM tables) overwhelms
+    the remote-compile relay (observed: broken-pipe compile failures and
+    minute-scale compile times on the axon backend)."""
     n = x.shape[0]
     jfn = jax.jit(fn)
-    outs = [jfn(x[i: i + chunk]) for i in range(0, n, chunk)]
+    outs = [jfn(params, x[i: i + chunk]) for i in range(0, n, chunk)]
     return jnp.concatenate(outs, axis=0)
 
 
@@ -330,8 +336,8 @@ def distill_to_mlp(
     n = x.shape[0]
     steps_per_epoch = n // batch
 
-    def loss_fn(tp, xb, tb):
-        p = dict(student)
+    def loss_fn(tp, frozen, xb, tb):
+        p = dict(frozen)
         p.update(tp)
         losses = {"field": _match_loss(
             _student_field(student_model, p, xb), tb["field"],
@@ -350,14 +356,17 @@ def distill_to_mlp(
             losses["mask"] = jnp.mean((out - tb["mask"]) ** 2)
         return sum(losses.values()), losses
 
+    # x/targets/frozen params ride as jit ARGUMENTS (a closure would bake
+    # the ~100 MB point/target pools into the HLO payload and overwhelm
+    # the remote-compile relay — see _eval_chunked)
     @jax.jit
-    def epoch(tp, opt_state, perm):
+    def epoch(tp, frozen, xs, tgt, opt_state, perm):
         def step(carry, idx):
             tp, opt_state = carry
-            xb = x[idx]
-            tb = jax.tree.map(lambda t: t[idx], targets)
+            xb = xs[idx]
+            tb = jax.tree.map(lambda t: t[idx], tgt)
             (_, losses), grads = jax.value_and_grad(
-                loss_fn, has_aux=True)(tp, xb, tb)
+                loss_fn, has_aux=True)(tp, frozen, xb, tb)
             updates, opt_state = tx.update(grads, opt_state, tp)
             tp = optax.apply_updates(tp, updates)
             return (tp, opt_state), losses
@@ -369,7 +378,8 @@ def distill_to_mlp(
     losses = {}
     for e in range(n_epochs):
         perm = jax.random.permutation(jax.random.fold_in(k_train, e), n)
-        train_tree, opt_state, losses = epoch(train_tree, opt_state, perm)
+        train_tree, opt_state, losses = epoch(train_tree, student, x,
+                                              targets, opt_state, perm)
 
     student.update(train_tree)
     report: Dict[str, Any] = {
