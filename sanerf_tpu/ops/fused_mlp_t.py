@@ -269,17 +269,24 @@ def _vm_block(xT, p_ref, l_ref, vm_info, f32_dots: bool):
         lf = jax.lax.dot_general(
             lm, Wlm, dimension_numbers=(((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32)  # [K, B]
+        # k-CHUNKED plane contraction (round-4 hardware retune): one
+        # [ck*R, R] @ [R, B] MXU dot per chunk instead of K separate
+        # [R, R] @ [R, B] dots — same MACs, 4-8x fewer/bigger MXU ops.
+        # Chunk size bounds the [ck*R, B] f32 slab in VMEM (~512 rows).
+        c = min(K, max(1, 512 // R))
+        Waf = Wa.astype(jnp.float32)
         rows = []
-        for k in range(K):
-            P = p_ref[m, k]  # [R, R]: rows = axis a, cols = axis b
+        for k0 in range(0, K, c):
+            ck = min(c, K - k0)
+            P = p_ref[m, k0:k0 + ck]  # [ck, R, R]: rows=axis a, cols=axis b
             if f32_dots:
                 P = P.astype(jnp.float32)
             Z = jax.lax.dot_general(
-                P, Wb, dimension_numbers=(((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32)  # [R, B]
-            rows.append(jnp.sum(Wa.astype(jnp.float32) * Z, axis=0,
-                                keepdims=True))  # [1, B]
-        pf = rows[0] if K == 1 else jnp.concatenate(rows, axis=0)  # [K, B]
+                P.reshape(ck * R, R), Wb,
+                dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)  # [ck*R, B]
+            rows.append(jnp.sum(Z.reshape(ck, R, B) * Waf[None], axis=1))
+        pf = rows[0] if len(rows) == 1 else jnp.concatenate(rows, axis=0)
         feats.append(pf * lf)
     return feats[0] if len(feats) == 1 else jnp.concatenate(feats, axis=0)
 
