@@ -42,6 +42,37 @@ from sanerf_tpu.models.sam.predictor import decode_fused
 OCCLUSION_EPS = 0.05
 
 
+def _rgb_to_yuv420(disp):
+    """[H, W, 3] f32 display (0..1) -> (Y [H, W] u8, CbCr [H/2, W/2, 2] u8),
+    BT.601 full-range with 2x2 mean chroma subsampling — the standard
+    remote-display/video transport. Halves the per-frame fetch bytes
+    (3 B/px -> 1.5 B/px), which through the TPU relay is the same order as
+    the frame's device compute."""
+    rgb = jnp.clip(disp, 0.0, 1.0) * 255.0
+    r, g, b = rgb[..., 0], rgb[..., 1], rgb[..., 2]
+    y = 0.299 * r + 0.587 * g + 0.114 * b
+    cb = 128.0 - 0.168736 * r - 0.331264 * g + 0.5 * b
+    cr = 128.0 + 0.5 * r - 0.418688 * g - 0.081312 * b
+    H, W = y.shape
+    cbcr = jnp.stack([cb, cr], axis=-1)
+    cbcr = cbcr.reshape(H // 2, 2, W // 2, 2, 2).mean(axis=(1, 3))
+    to_u8 = lambda a: jnp.clip(jnp.round(a), 0.0, 255.0).astype(jnp.uint8)
+    return to_u8(y), to_u8(cbcr)
+
+
+def yuv420_to_rgb8(y: np.ndarray, cbcr: np.ndarray) -> np.ndarray:
+    """Host-side inverse of `_rgb_to_yuv420` (nearest-neighbor chroma
+    upsample): (Y [H, W] u8, CbCr [H/2, W/2, 2] u8) -> [H, W, 3] u8."""
+    yf = y.astype(np.float32)
+    cb = (cbcr[..., 0].astype(np.float32) - 128.0).repeat(2, 0).repeat(2, 1)
+    cr = (cbcr[..., 1].astype(np.float32) - 128.0).repeat(2, 0).repeat(2, 1)
+    r = yf + 1.402 * cr
+    g = yf - 0.344136 * cb - 0.714136 * cr
+    b = yf + 1.772 * cb
+    rgb = np.stack([r, g, b], axis=-1)
+    return np.clip(np.rint(rgb), 0, 255).astype(np.uint8)
+
+
 def project_points_device(points3d, active, pose, intr, depth, H, W):
     """Reproject the 3D click memory through the current camera with
     screen-bounds + depth-occlusion tests, all on device
@@ -93,7 +124,8 @@ def _shard_render(model: NerfModel, mesh: Mesh, axis: str,
 @functools.partial(
     jax.jit,
     static_argnames=("model", "sam_cfg", "hw", "feat_hw", "input_hw",
-                     "mode", "perturb", "with_overlay", "mesh", "mesh_axis"),
+                     "mode", "perturb", "with_overlay", "mesh", "mesh_axis",
+                     "fetch_format"),
     donate_argnames=("acc",),
 )
 def _frame_program(
@@ -118,6 +150,7 @@ def _frame_program(
     with_overlay: bool,
     mesh: Optional[Mesh] = None,
     mesh_axis: str = "data",
+    fetch_format: str = "rgb8",   # 'rgb8' | 'yuv420' display transport
 ):
     H, W = hw
     rays_o, rays_d = full_frame_rays(pose, intr, H, W)
@@ -195,8 +228,11 @@ def _frame_program(
         disp = jnp.where(marker[..., None],
                          jnp.asarray([1.0, 0.2, 0.2], jnp.float32), disp)
 
-    u8 = (jnp.clip(disp, 0.0, 1.0) * 255.0).astype(jnp.uint8)
-    return u8, depth, mask, acc_new, pts2d, valid
+    if fetch_format == "yuv420":
+        pix = _rgb_to_yuv420(disp)  # (Y, CbCr) — half the fetch bytes
+    else:
+        pix = (jnp.clip(disp, 0.0, 1.0) * 255.0).astype(jnp.uint8)
+    return pix, depth, mask, acc_new, pts2d, valid
 
 
 class FramePipeline:
@@ -215,7 +251,8 @@ class FramePipeline:
 
     def __init__(self, model, params, sam_cfg, sam_params, H, W, h=32, w=32,
                  max_points: int = 8, overlay: bool = True,
-                 mesh: Optional[Mesh] = None, mesh_axis: str = "data"):
+                 mesh: Optional[Mesh] = None, mesh_axis: str = "data",
+                 fetch_format: str = "rgb8"):
         self.model = model
         self.params = params
         self.sam_cfg = sam_cfg
@@ -235,6 +272,10 @@ class FramePipeline:
         self.input_hw = (int(round(h * scale)) * 16, int(round(w * scale)) * 16)
         self.max_points = max_points
         self.overlay = overlay
+        # 4:2:0 needs even dims; odd sizes (adaptive downscale) fall back
+        self.fetch_format = (fetch_format
+                             if fetch_format == "rgb8" or (H % 2 == 0 and W % 2 == 0)
+                             else "rgb8")
         self._pending = None
         self._acc = jnp.zeros((H, W, 3), jnp.float32)
         self.dispatch_count = 0  # tests assert one dispatch per frame
@@ -253,15 +294,16 @@ class FramePipeline:
     def _dispatch(self, pose, intr, points3d, active, aabb, bg_color, spp,
                   key, mode, perturb):
         self.dispatch_count += 1
-        u8, depth, mask, self._acc, pts2d, valid = _frame_program(
+        pix, depth, mask, self._acc, pts2d, valid = _frame_program(
             self.model, self.params, self.sam_cfg, self.sam_params,
             pose, intr, points3d, active, aabb, bg_color,
             self._acc, spp, key,
             hw=self.hw, feat_hw=self.feat_hw, input_hw=self.input_hw,
             mode=mode, perturb=perturb, with_overlay=self.overlay,
             mesh=self.mesh, mesh_axis=self.mesh_axis,
+            fetch_format=self.fetch_format,
         )
-        return u8, depth, mask, pts2d, valid
+        return pix, depth, mask, pts2d, valid
 
     @staticmethod
     def _start_fetch(frame):
@@ -271,8 +313,9 @@ class FramePipeline:
         copy queued after the NEXT frame's dispatch would wait out that
         frame's entire device time (profiled: +46 ms/frame at 512^2);
         queued here it completes the moment its producer does."""
-        u8, depth, mask, pts2d, valid = frame
-        for a in (u8, pts2d, valid):
+        pix, depth, mask, pts2d, valid = frame
+        parts = pix if isinstance(pix, tuple) else (pix,)
+        for a in (*parts, pts2d, valid):
             try:
                 a.copy_to_host_async()
             except AttributeError:
@@ -286,9 +329,16 @@ class FramePipeline:
         (Fetching depth f32 + mask alongside the uint8 frame profiled at
         ~50 ms/frame through the relay — the u8-only fetch runs at device
         speed.) Depth is needed on the host only when a click lifts to 3D,
-        the mask only for export — callers np.asarray() those lazily."""
-        u8, depth, mask, pts2d, valid = frame
-        return np.asarray(u8), depth, mask, pts2d, valid
+        the mask only for export — callers np.asarray() those lazily.
+
+        yuv420 frames convert back to RGB u8 here, so callers always see
+        the same [H, W, 3] u8 API regardless of the transport."""
+        pix, depth, mask, pts2d, valid = frame
+        if isinstance(pix, tuple):
+            u8 = yuv420_to_rgb8(np.asarray(pix[0]), np.asarray(pix[1]))
+        else:
+            u8 = np.asarray(pix)
+        return u8, depth, mask, pts2d, valid
 
     def render(self, pose, intr, points3d=None, active=None, aabb=None,
                bg_color=1.0, spp=0, key=None, mode="image", perturb=False):

@@ -46,12 +46,18 @@ class FrameResult:
 
 class InteractiveSession:
     def __init__(self, cfg: Config, model: NerfModel, params: Params,
-                 sam_predictor=None, H: int = 512, W: int = 512, mesh=None):
+                 sam_predictor=None, H: int = 512, W: int = 512, mesh=None,
+                 fetch_format: str = "yuv420"):
         self.cfg = cfg
         self.model = model
         self.params = params
         self.sam = sam_predictor
         self.mesh = mesh  # optional jax.sharding.Mesh: frames render sharded
+        # display transport: 'yuv420' (default) halves the per-frame fetch
+        # bytes via BT.601 4:2:0 — the standard remote-display encoding;
+        # through the TPU relay the pixel fetch is the same order as the
+        # frame's device compute. 'rgb8' fetches exact pixels.
+        self.fetch_format = fetch_format
         self.H, self.W = H, W
         # low-res feature map size: 64 per 1024 of render res (utils.py:1094)
         self.h = max(4, int(H / 1024 * 64))
@@ -71,7 +77,8 @@ class InteractiveSession:
             sam_cfg = None if self.sam is None else self.sam.cfg
             sam_params = None if self.sam is None else self.sam.params
             pipe = FramePipeline(self.model, self.params, sam_cfg, sam_params,
-                                 Hs, Ws, self.h, self.w, mesh=self.mesh)
+                                 Hs, Ws, self.h, self.w, mesh=self.mesh,
+                                 fetch_format=self.fetch_format)
             self._pipes[(Hs, Ws)] = pipe
         pipe.params = self.params  # live-training updates flow through
         return pipe

@@ -449,3 +449,49 @@ def test_interactive_session_bench_hierarchy():
     r_sync = s.step(pose, intr, pipelined=False)
     assert np.isfinite(np.asarray(r_sync.rgb)).all()
     assert r_pipe.rgb.shape == (32, 32, 3)
+
+
+def test_yuv420_display_transport(rng):
+    """The yuv420 fetch format (half the display bytes through the relay)
+    round-trips to within normal chroma-subsampling error of the exact
+    rgb8 frame, grayscale exactly, through the same FramePipeline API."""
+    from sanerf_tpu.apps.frame_pipeline import (
+        FramePipeline, _rgb_to_yuv420, yuv420_to_rgb8)
+
+    # pure math round trip: gray images survive exactly (Cb = Cr = 128)
+    g = np.linspace(0, 1, 16 * 16, dtype=np.float32).reshape(16, 16)
+    y, cbcr = jax.device_get(_rgb_to_yuv420(np.repeat(g[..., None], 3, -1)))
+    assert np.all(cbcr == 128)
+    rt = yuv420_to_rgb8(y, cbcr)
+    np.testing.assert_allclose(rt[..., 0], np.round(g * 255), atol=1)
+
+    # natural-image round trip: smooth random field, PSNR > 30 dB
+    x = rng.random((8, 8, 3)).astype(np.float32)
+    img = np.kron(x, np.ones((4, 4, 1), np.float32))  # 32x32, 4x4 blocks
+    y, cbcr = jax.device_get(_rgb_to_yuv420(img))
+    rt = yuv420_to_rgb8(y, cbcr).astype(np.float32) / 255.0
+    mse = float(np.mean((rt - np.clip(img, 0, 1)) ** 2))
+    assert 10 * np.log10(1.0 / max(mse, 1e-12)) > 30.0
+
+    # pipeline integration: same scene via rgb8 and yuv420 transports
+    model = fields.make_model(MC, RC)
+    params = fields.init_params(model, jax.random.key(0))
+    H = W = 16
+    f = 0.5 * H
+    intr = np.asarray([f, f, W / 2, H / 2], np.float32)
+    pose = np.array([[1, 0, 0, 0], [0, 1, 0, 0],
+                     [0, 0, 1, 2.0], [0, 0, 0, 1]], np.float32)
+    exact = FramePipeline(model, params, None, None, H, W,
+                          fetch_format="rgb8")
+    sub = FramePipeline(model, params, None, None, H, W,
+                        fetch_format="yuv420")
+    assert sub.fetch_format == "yuv420"
+    p3, act = exact.pad_points(None)
+    a, *_ = exact.render_sync(pose, intr, p3, act)
+    b, *_ = sub.render_sync(pose, intr, p3, act)
+    assert b.shape == (H, W, 3) and b.dtype == np.uint8
+    assert np.abs(a.astype(int) - b.astype(int)).mean() < 4.0
+    # odd frame sizes fall back to exact rgb8 (4:2:0 needs even dims)
+    odd = FramePipeline(model, params, None, None, 15, 15,
+                        fetch_format="yuv420")
+    assert odd.fetch_format == "rgb8"
