@@ -13,6 +13,12 @@ cost is weight-independent) — and prints one JSON line:
 
 Usage: python tools/two_stage_wall.py [--iters1 20000] [--iters2 5000]
        (defaults are the reference recipe scale; --quick for a smoke run)
+
+Resumable: stage-1 wall time is stamped to <workspace>/s1_wall.json next to
+the checkpoint; with --resume, a completed stage 1 is loaded instead of
+retrained (the relay has twice dropped mid-run at the ViT-H compile — the
+10-minute stage 1 should not have to rerun a third time). The teacher
+compile itself retries on transient relay transport errors.
 """
 
 import argparse
@@ -35,6 +41,8 @@ def main(argv=None):
     ap.add_argument("--online_resolution", type=int, default=512)
     ap.add_argument("--quick", action="store_true",
                     help="200/100 iters (pipeline smoke, not the headline)")
+    ap.add_argument("--resume", action="store_true",
+                    help="reuse a completed stage-1 checkpoint + wall stamp")
     ap.add_argument("--workspace", default="/tmp/two_stage")
     args = ap.parse_args(argv)
     if args.quick:
@@ -72,12 +80,25 @@ def main(argv=None):
     cfg1 = Config(workspace=os.path.join(args.workspace, "s1"),
                   render=rc, model=mc1, train=tc1)
     model1 = fields.make_model(mc1, rc)
+    stamp_path = os.path.join(args.workspace, "s1_wall.json")
     tr1 = Trainer("s1", cfg1, model1, workspace=cfg1.workspace,
-                  use_checkpoint="scratch")
-    t0 = time.time()
-    spe = min(500, args.iters1)
-    tr1.train(ds, max_epoch=max(1, args.iters1 // spe), steps_per_epoch=spe)
-    stage1_s = time.time() - t0
+                  use_checkpoint="latest_model" if args.resume else "scratch")
+    ckpts = tr1.ckpt_mgr.list_checkpoints()
+    if args.resume and ckpts and os.path.exists(stamp_path):
+        with open(stamp_path) as f:
+            stamp = json.load(f)
+        assert stamp["iters1"] == args.iters1, (
+            f"stamped stage-1 ran {stamp['iters1']} iters, asked {args.iters1}")
+        stage1_s = stamp["stage1_s"]
+        print(f"[resume] stage 1 reused: {ckpts[-1]} ({stage1_s:.0f} s)")
+    else:
+        t0 = time.time()
+        spe = min(500, args.iters1)
+        tr1.train(ds, max_epoch=max(1, args.iters1 // spe),
+                  steps_per_epoch=spe)
+        stage1_s = time.time() - t0
+        with open(stamp_path, "w") as f:
+            json.dump({"stage1_s": stage1_s, "iters1": args.iters1}, f)
     ckpt = tr1.ckpt_mgr.list_checkpoints()[-1]
 
     # ---- the REAL-shape teacher ------------------------------------------
@@ -99,7 +120,15 @@ def main(argv=None):
     dummy = np.random.default_rng(0).integers(
         0, 255, (args.online_resolution, args.online_resolution, 3),
         dtype=np.uint8).astype(np.uint8)
-    np.asarray(teacher(dummy))  # compile
+    for attempt in range(4):  # relay transport errors are transient
+        try:
+            np.asarray(teacher(dummy))  # compile
+            break
+        except Exception as e:  # jax.errors.JaxRuntimeError: UNAVAILABLE
+            if attempt == 3 or "UNAVAILABLE" not in str(e):
+                raise
+            print(f"[teacher] compile transport error, retrying: {e}")
+            time.sleep(30 * (attempt + 1))
     times = []
     for _ in range(5):
         t = time.time()
