@@ -167,9 +167,23 @@ def _prep_grids(cp_lines, vm_planes, vm_lines, row_map, bound: float, dtype,
     sig_cp = None
     if sigma_cp_lines is not None:
         l = sigma_cp_lines
-        ops.append(jnp.swapaxes(l, 1, 2).astype(dtype))
-        sig_cp = (int(l.shape[1]), int(l.shape[2]),
-                  *_scale_off(l.shape[1], bound))
+        # STACK the sigma rows onto a feature CP level with the same
+        # resolution (same R -> identical grid-coordinate affine, so the
+        # level's one-hot AND its MXU dot serve both tables): the separate
+        # [Ks, R] @ [R, B] dot pads Ks up to the 128-row MXU tile — at the
+        # serving student's CP96 + sigmaCP32 shapes stacking makes one
+        # exactly-128-row dot per axis instead of two padded ones (half
+        # the MACs, half the one-hot VPU builds).
+        stk = next((i for i, li in enumerate(cp_infos)
+                    if li[0] == int(l.shape[1])), None)
+        if stk is not None:
+            ops[stk] = jnp.concatenate(
+                [ops[stk], jnp.swapaxes(l, 1, 2).astype(dtype)], axis=1)
+            sig_cp = ("stk", stk, int(l.shape[2]))
+        else:
+            ops.append(jnp.swapaxes(l, 1, 2).astype(dtype))
+            sig_cp = (int(l.shape[1]), int(l.shape[2]),
+                      *_scale_off(l.shape[1], bound))
     sig_vm = None
     if sigma_vm_planes is not None:
         _, R, _, K = sigma_vm_planes.shape
@@ -184,12 +198,17 @@ def _prep_grids(cp_lines, vm_planes, vm_lines, row_map, bound: float, dtype,
     return ops, info, row_map
 
 
+def _is_stacked_sig(sig_cp) -> bool:
+    return isinstance(sig_cp, tuple) and len(sig_cp) and sig_cp[0] == "stk"
+
+
 def _n_grid_ops(grid_info) -> int:
     """Number of pallas operands the grid_info describes (unpack helper
-    for the kernels' *rest argument list)."""
+    for the kernels' *rest argument list). A sigma-CP table stacked onto
+    a feature level rides that level's operand (no extra operand)."""
     cp_infos, vm_infos, _, sig_cp, sig_vm = grid_info
     return (len(cp_infos) + 2 * len(vm_infos)
-            + (1 if sig_cp is not None else 0)
+            + (1 if sig_cp is not None and not _is_stacked_sig(sig_cp) else 0)
             + (2 if sig_vm is not None else 0))
 
 
@@ -291,48 +310,50 @@ def _vm_block(xT, p_ref, l_ref, vm_info, f32_dots: bool):
     return feats[0] if len(feats) == 1 else jnp.concatenate(feats, axis=0)
 
 
-def _cp_block(xT, refs, grid_info, f32_dots: bool):
-    """Concatenated factorized-grid features [Kp, B]: one `_cp_level` per
-    CP resolution (coarse -> fine), then the VM modes, zero-padded to the
-    8-aligned row count the extended row map reserved. (Sigma operands
-    trail the refs list and are consumed by _sigma_block, not here.)"""
-    cp_infos, vm_infos, Kp = grid_info[:3]
+def _grid_blocks(xT, refs, grid_info, f32_dots: bool):
+    """-> (feat [Kp, B] | None, sigma [1, B] | None), every table read
+    once: feature rows are the concatenated CP levels (coarse -> fine)
+    then the VM modes, zero-padded to the 8-aligned row count the
+    extended row map reserved; sigma is the DIRECT-density component sum
+    (fields.sigma_grid_logit in-kernel — TensoRF §4.1). A sigma-CP table
+    stacked onto a feature level (_prep_grids, same R) comes out of that
+    level's single product as its trailing rows — one one-hot build and
+    one MXU dot per axis serve both heads."""
+    cp_infos, vm_infos, Kp, sig_cp, sig_vm = grid_info
     B = xT.shape[1]
-    if Kp == 0:
-        return None
-    feats = [_cp_level(xT, r, li, f32_dots)
-             for r, li in zip(refs, cp_infos)]
+    stk = sig_cp if _is_stacked_sig(sig_cp) else None
+    feats = []
+    sig = None
+    for i, (r, li) in enumerate(zip(refs, cp_infos)):
+        rows = _cp_level(xT, r, li, f32_dots)  # [K(+Ks if stacked), B]
+        if stk is not None and stk[1] == i:
+            K = li[1]
+            feats.append(rows[:K])
+            sig = jnp.sum(rows[K:], axis=0, keepdims=True)
+        else:
+            feats.append(rows)
     K = sum(li[1] for li in cp_infos)
     base = len(cp_infos)
     for j, vi in enumerate(vm_infos):  # VM ladder coarse -> fine
         feats.append(_vm_block(xT, refs[base + 2 * j],
                                refs[base + 2 * j + 1], vi, f32_dots))
         K += 3 * vi[2]
+    pos = base + 2 * len(vm_infos)
+    if sig_cp is not None and stk is None:
+        f = _cp_level(xT, refs[pos], sig_cp, f32_dots)  # [Ks, B]
+        s = jnp.sum(f, axis=0, keepdims=True)
+        sig = s if sig is None else sig + s
+        pos += 1
+    if sig_vm is not None:
+        f = _vm_block(xT, refs[pos], refs[pos + 1], sig_vm, f32_dots)
+        s = jnp.sum(f, axis=0, keepdims=True)
+        sig = s if sig is None else sig + s
+    if Kp == 0:
+        return None, sig
     if Kp > K:
         feats.append(jnp.zeros((Kp - K, B), feats[0].dtype))
-    return feats[0] if len(feats) == 1 else jnp.concatenate(feats, axis=0)
-
-
-def _sigma_block(xT, refs, grid_info, f32_dots: bool):
-    """DIRECT-density contribution [1, B]: the component-sum of the sigma
-    tables (fields.sigma_grid_logit in-kernel — TensoRF §4.1's density =
-    plain sum over grid components). Returns None when the model has no
-    sigma tables. The sigma operands trail the appearance operands in
-    `refs` (see _prep_grids)."""
-    cp_infos, vm_infos, _, sig_cp, sig_vm = grid_info
-    if sig_cp is None and sig_vm is None:
-        return None
-    base = len(cp_infos) + 2 * len(vm_infos)
-    s = None
-    if sig_cp is not None:
-        f = _cp_level(xT, refs[base], sig_cp, f32_dots)  # [K, B]
-        s = jnp.sum(f, axis=0, keepdims=True)
-        base += 1
-    if sig_vm is not None:
-        f = _vm_block(xT, refs[base], refs[base + 1], sig_vm, f32_dots)
-        s2 = jnp.sum(f, axis=0, keepdims=True)
-        s = s2 if s is None else s + s2
-    return s
+    feat = feats[0] if len(feats) == 1 else jnp.concatenate(feats, axis=0)
+    return feat, sig
 
 
 def pack_tmlp(layers, enc_pad: int, skip_layers: Sequence[int] = (),
@@ -606,10 +627,8 @@ def _tmlp_kernel(dims: Tuple[Tuple[int, int, int], ...], leaky: bool,
             pos += n_ops
         out_ref = rest[-1]
         xT = xT_ref[:].astype(jnp.float32)  # [8 or 3, B]
-        cp = (None if cp_info is None
-              else _cp_block(xT, cp_refs, cp_info, f32_dots))
-        sig = (None if cp_info is None
-               else _sigma_block(xT, cp_refs, cp_info, f32_dots))
+        cp, sig = ((None, None) if cp_info is None
+                   else _grid_blocks(xT, cp_refs, cp_info, f32_dots))
         acc = _encode_and_chain(dims, leaky, has_bias, ad_freqs, xT, w_ref,
                                 projT_ref, phase_ref, lmask_ref, b_ref,
                                 f32_dots=f32_dots, cp=cp, sig=sig)
@@ -715,10 +734,8 @@ def _tmlp_composite_kernel(dims, leaky: bool, has_bias: bool, T: int,
             pos += 4
         gsum_ref, aux_ref = rest[-2], rest[-1]
         xT = xT_ref[:].astype(jnp.float32)  # [3 or 8, B]
-        cp = (None if cp_info is None
-              else _cp_block(xT, cp_refs, cp_info, f32_dots))
-        sig = (None if cp_info is None
-               else _sigma_block(xT, cp_refs, cp_info, f32_dots))
+        cp, sig = ((None, None) if cp_info is None
+                   else _grid_blocks(xT, cp_refs, cp_info, f32_dots))
         acc = _encode_and_chain(dims, leaky, has_bias, ad_freqs, xT, w_ref,
                                 projT_ref, phase_ref, lmask_ref, b_ref,
                                 f32_dots, last_bt=True, cp=cp,

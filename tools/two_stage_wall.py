@@ -108,27 +108,46 @@ def main(argv=None):
     enc_params = fields.cast_params(enc_params, jnp.bfloat16)
 
     @jax.jit
-    def encode(x):
-        return ie.encode(sam_cfg.vit, enc_params, x)
+    def encode(p, x):
+        # params as an ARGUMENT: a closure would inline 1.2 GB of ViT-H
+        # weights as MLIR constants (host round-trip + compile-side OOM)
+        return ie.encode(sam_cfg.vit, p, x)
 
     def teacher(img_uint8: np.ndarray) -> jax.Array:
         x = ie.preprocess(jnp.asarray(img_uint8), sam_cfg.vit.img_size)
-        feats = encode(x)  # [1, 64, 64, 256]
+        feats = encode(enc_params, x)  # [1, 64, 64, 256]
         return feats[0].astype(jnp.float32)
 
     # teacher ms/frame (steady state, forced fetch)
     dummy = np.random.default_rng(0).integers(
         0, 255, (args.online_resolution, args.online_resolution, 3),
         dtype=np.uint8).astype(np.uint8)
-    for attempt in range(4):  # relay transport errors are transient
+    def wait_for_relay(budget_s=3 * 3600):
+        """The TPU relay drops for minutes-to-hours at a time; probe with a
+        tiny compile+fetch and sleep until it answers (or the budget ends)."""
+        t0, pause = time.time(), 30.0
+        while True:
+            try:
+                np.asarray(jax.jit(lambda a: a.sum())(jnp.ones((8, 128))))
+                return
+            except Exception as e:
+                if time.time() - t0 > budget_s:
+                    raise RuntimeError(f"relay still down after "
+                                       f"{budget_s / 3600:.0f} h: {e}")
+                print(f"[relay] down ({str(e)[:90]}); sleeping {pause:.0f} s",
+                      flush=True)
+                time.sleep(pause)
+                pause = min(pause * 1.6, 300.0)
+
+    while True:  # relay transport errors are transient; wait them out
         try:
             np.asarray(teacher(dummy))  # compile
             break
         except Exception as e:  # jax.errors.JaxRuntimeError: UNAVAILABLE
-            if attempt == 3 or "UNAVAILABLE" not in str(e):
+            if "UNAVAILABLE" not in str(e):
                 raise
-            print(f"[teacher] compile transport error, retrying: {e}")
-            time.sleep(30 * (attempt + 1))
+            print(f"[teacher] compile transport error: {e}", flush=True)
+            wait_for_relay()
     times = []
     for _ in range(5):
         t = time.time()
