@@ -91,6 +91,48 @@ def yuv420_to_rgb8(y: np.ndarray, cbcr: np.ndarray) -> np.ndarray:
     return np.clip(np.rint(rgb), 0, 255).astype(np.uint8)
 
 
+def _pack_display(disp, pts2d, valid, W: int):
+    """Device-side packing of EVERYTHING the host needs per frame into ONE
+    u8 buffer: the I420 planes (rows 0..3H/2 — byte-exact cv2 input) plus
+    trailing metadata rows carrying the reprojected prompt points (f32
+    bitcast to bytes) and their validity. Through the TPU relay every
+    fetched array is its own RPC with full round-trip latency; the packed
+    buffer makes the steady-state frame exactly one upload + one dispatch
+    + one fetch."""
+    y, cbcr = _rgb_to_yuv420(disp)
+    H = y.shape[0]
+    cb = cbcr[..., 0].reshape(H // 4, W)
+    cr = cbcr[..., 1].reshape(H // 4, W)
+    pb = jax.lax.bitcast_convert_type(
+        pts2d.astype(jnp.float32), jnp.uint8).reshape(-1)  # [K*8]
+    vb = valid.astype(jnp.uint8)  # [K]
+    n = pb.size + vb.size
+    rows = -(-n // W)
+    meta = jnp.concatenate(
+        [pb, vb, jnp.zeros((rows * W - n,), jnp.uint8)]).reshape(rows, W)
+    return jnp.concatenate([y, cb, cr, meta], axis=0)
+
+
+def unpack_display(buf: np.ndarray, H: int, W: int, K: int):
+    """Host-side inverse of `_pack_display`:
+    -> (rgb u8 [H, W, 3], pts2d f32 [K, 2], valid bool [K])."""
+    q = H // 4
+    meta = np.ascontiguousarray(buf[H + 2 * q :]).reshape(-1)[: K * 8 + K]
+    pts2d = np.frombuffer(
+        meta[: K * 8].tobytes(), np.float32).reshape(K, 2).copy()
+    valid = meta[K * 8 :] > 0
+    try:
+        import cv2
+
+        rgb = cv2.cvtColor(np.ascontiguousarray(buf[: H * 3 // 2]),
+                           cv2.COLOR_YUV2RGB_I420)
+    except ImportError:
+        cbcr = np.stack([buf[H : H + q].reshape(H // 2, W // 2),
+                         buf[H + q : H + 2 * q].reshape(H // 2, W // 2)], -1)
+        rgb = yuv420_to_rgb8(buf[:H], cbcr)
+    return rgb, pts2d, valid
+
+
 def project_points_device(points3d, active, pose, intr, depth, H, W):
     """Reproject the 3D click memory through the current camera with
     screen-bounds + depth-occlusion tests, all on device
@@ -254,7 +296,9 @@ def _frame_program(
                          jnp.asarray([1.0, 0.2, 0.2], jnp.float32), disp)
 
     if fetch_format == "yuv420":
-        pix = _rgb_to_yuv420(disp)  # (Y, CbCr) — half the fetch bytes
+        # half the fetch bytes AND one buffer: I420 planes + pts2d/valid
+        # metadata rows, so the whole frame is a single device->host copy
+        pix = _pack_display(disp, pts2d, valid, W)
     else:
         pix = (jnp.clip(disp, 0.0, 1.0) * 255.0).astype(jnp.uint8)
     return pix, depth, mask, acc_new, pts2d, valid
@@ -297,9 +341,10 @@ class FramePipeline:
         self.input_hw = (int(round(h * scale)) * 16, int(round(w * scale)) * 16)
         self.max_points = max_points
         self.overlay = overlay
-        # 4:2:0 needs even dims; odd sizes (adaptive downscale) fall back
+        # the packed 4:2:0 buffer needs I420-tileable dims (H % 4, W % 2);
+        # odd sizes (adaptive downscale) fall back to exact rgb8
         self.fetch_format = (fetch_format
-                             if fetch_format == "rgb8" or (H % 2 == 0 and W % 2 == 0)
+                             if fetch_format == "rgb8" or (H % 4 == 0 and W % 2 == 0)
                              else "rgb8")
         self._pending = None
         self._acc = jnp.zeros((H, W, 3), jnp.float32)
@@ -344,24 +389,27 @@ class FramePipeline:
         )
         return pix, depth, mask, pts2d, valid
 
-    @staticmethod
-    def _start_fetch(frame):
+    def _start_fetch(self, frame):
         """Queue the async device->host copy of the display outputs NOW —
         i.e. immediately after the frame's own program in the device
         stream. Transfers serialize with compute through the relay, so a
         copy queued after the NEXT frame's dispatch would wait out that
         frame's entire device time (profiled: +46 ms/frame at 512^2);
-        queued here it completes the moment its producer does."""
+        queued here it completes the moment its producer does.
+
+        The yuv420 transport queues exactly ONE copy (the packed buffer
+        carries pixels + pts2d + valid); rgb8 additionally queues the tiny
+        point arrays."""
         pix, depth, mask, pts2d, valid = frame
-        parts = pix if isinstance(pix, tuple) else (pix,)
-        for a in (*parts, pts2d, valid):
+        arrs = ((pix,) if self.fetch_format == "yuv420"
+                else (pix, pts2d, valid))
+        for a in arrs:
             try:
                 a.copy_to_host_async()
             except AttributeError:
                 pass
 
-    @staticmethod
-    def _fetch(frame):
+    def _fetch(self, frame):
         """Materialize ONLY the display pixels; everything else stays
         on-device.
 
@@ -370,11 +418,14 @@ class FramePipeline:
         speed.) Depth is needed on the host only when a click lifts to 3D,
         the mask only for export — callers np.asarray() those lazily.
 
-        yuv420 frames convert back to RGB u8 here, so callers always see
-        the same [H, W, 3] u8 API regardless of the transport."""
+        yuv420 frames decode back to RGB u8 here (and their pts2d/valid
+        come out of the packed buffer as host arrays), so callers always
+        see the same API regardless of the transport."""
         pix, depth, mask, pts2d, valid = frame
-        if isinstance(pix, tuple):
-            u8 = yuv420_to_rgb8(np.asarray(pix[0]), np.asarray(pix[1]))
+        if self.fetch_format == "yuv420":
+            H, W = self.hw
+            u8, pts2d, valid = unpack_display(
+                np.asarray(pix), H, W, self.max_points)
         else:
             u8 = np.asarray(pix)
         return u8, depth, mask, pts2d, valid

@@ -39,6 +39,21 @@ def _round_up(x: int, m: int) -> int:
     return (x + m - 1) // m * m
 
 
+def _divisor_block(n: int, unit: int, want: int) -> int:
+    """Largest multiple of `unit` that is <= max(want, unit) AND divides
+    `n`, or 0 if none exists. Feeding pallas a block that divides the
+    point count exactly skips the pad-to-block concatenates — profiled
+    ~7 ms/frame of pure HBM copy at 512^2 (the [3, N*T] f32 coordinate
+    tensor is 75 MB; XLA loopifies the dl/ts/rays8 pads too)."""
+    if n % unit:
+        return 0
+    m = n // unit
+    k = max(1, min(m, want // unit))
+    while m % k:
+        k -= 1
+    return k * unit
+
+
 def make_enc_consts(enc_freqs: int, scale: float):
     """Transposed Fourier-encode constants (ops/freq.py column order, rows
     here): projT [Fp, 8], phase/linear-mask column vectors [Fp, 1]."""
@@ -225,16 +240,14 @@ def _cp_level(xT, cp_ref, level_info, f32_dots: bool):
     R, K, s, o = level_info
     B = xT.shape[1]
     u = jnp.clip(xT[:3] * s + o, 0.0, R - 1.0)  # [3, B] grid coords
-    i0f = jnp.floor(u)
-    frac = u - i0f
-    i0 = i0f.astype(jnp.int32)
-    iota = jax.lax.broadcasted_iota(jnp.int32, (R, B), 0)
+    # 1-D interpolation one-hot as the HAT function max(0, 1 - |u - r|):
+    # identical 2-nonzero columns, ~2x fewer VPU passes than the
+    # floor/frac + two-iota-compare build (f32 math: bf16 can't carry u;
+    # tpu.iota is integer-only, so build i32 and convert)
+    iota = jax.lax.broadcasted_iota(jnp.int32, (R, B), 0).astype(jnp.float32)
     feat = None
     for a in range(3):
-        ia = i0[a : a + 1]
-        fa = frac[a : a + 1]
-        W = (jnp.where(iota == ia, 1.0 - fa, 0.0)
-             + jnp.where(iota == ia + 1, fa, 0.0))  # [R, B]
+        W = jnp.maximum(0.0, 1.0 - jnp.abs(iota - u[a : a + 1]))  # [R, B]
         la = cp_ref[a]  # [K, R]
         if f32_dots:
             la = la.astype(jnp.float32)
@@ -262,14 +275,11 @@ def _vm_block(xT, p_ref, l_ref, vm_info, f32_dots: bool):
 
     def onehots(scale, off, res):
         u = jnp.clip(xT[:3] * scale + off, 0.0, res - 1.0)  # [3, B]
-        i0f = jnp.floor(u)
-        frac = u - i0f
-        i0 = i0f.astype(jnp.int32)
-        iota = jax.lax.broadcasted_iota(jnp.int32, (res, B), 0)
-        return [
-            (jnp.where(iota == i0[a : a + 1], 1.0 - frac[a : a + 1], 0.0)
-             + jnp.where(iota == i0[a : a + 1] + 1, frac[a : a + 1], 0.0))
-            for a in range(3)]
+        iota = jax.lax.broadcasted_iota(
+            jnp.int32, (res, B), 0).astype(jnp.float32)
+        # hat-function build (see _cp_level)
+        return [jnp.maximum(0.0, 1.0 - jnp.abs(iota - u[a : a + 1]))
+                for a in range(3)]
 
     Wp = onehots(s, o, R)
     Wl = onehots(sl, ol, Rl)
@@ -1003,11 +1013,14 @@ def run_tmlp_composite(xT, dl, ts, layers, enc_freqs: int, bound: float,
         T = dl.shape[1]
     # whole rays per block; on hardware the xT block's lane dim must also
     # be a multiple of 128 (Mosaic block-shape rule — interpret mode does
-    # not enforce it, so e.g. T=24 -> block 4080 only fails on-chip)
+    # not enforce it, so e.g. T=24 -> block 4080 only fails on-chip).
+    # Prefer a block that DIVIDES the point count: the pad-to-block
+    # concatenates below copy the whole 75 MB coordinate tensor otherwise
     unit = T * pack_q
     if not interpret:
         unit = unit * 128 // math.gcd(unit, 128)
-    block = max(block // unit, 1) * unit
+    exact = _divisor_block(xT.shape[1], unit, block)
+    block = exact if exact else max(block // unit, 1) * unit
     view = None
     vgeo = vsh = vrest = None
     if view_layers is not None:

@@ -486,11 +486,16 @@ def test_yuv420_display_transport(rng):
     sub = FramePipeline(model, params, None, None, H, W,
                         fetch_format="yuv420")
     assert sub.fetch_format == "yuv420"
-    p3, act = exact.pad_points(None)
-    a, *_ = exact.render_sync(pose, intr, p3, act)
-    b, *_ = sub.render_sync(pose, intr, p3, act)
+    p3, act = exact.pad_points([np.asarray([0.0, 0.0, 0.4], np.float32)])
+    a, _, _, pa, va = exact.render_sync(pose, intr, p3, act)
+    b, _, _, pb, vb = sub.render_sync(pose, intr, p3, act)
     assert b.shape == (H, W, 3) and b.dtype == np.uint8
     assert np.abs(a.astype(int) - b.astype(int)).mean() < 4.0
+    # the packed buffer's metadata rows round-trip pts2d/valid exactly
+    # (f32 bitcast + u8 flags) — one fetched array carries the whole frame
+    assert isinstance(pb, np.ndarray) and isinstance(vb, np.ndarray)
+    np.testing.assert_array_equal(np.asarray(va), vb)
+    np.testing.assert_allclose(np.asarray(pa), pb, rtol=0, atol=0)
     # odd frame sizes fall back to exact rgb8 (4:2:0 needs even dims)
     odd = FramePipeline(model, params, None, None, 15, 15,
                         fetch_format="yuv420")
