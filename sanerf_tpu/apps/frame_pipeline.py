@@ -321,7 +321,7 @@ class FramePipeline:
     def __init__(self, model, params, sam_cfg, sam_params, H, W, h=32, w=32,
                  max_points: int = 8, overlay: bool = True,
                  mesh: Optional[Mesh] = None, mesh_axis: str = "data",
-                 fetch_format: str = "rgb8"):
+                 fetch_format: str = "rgb8", depth: int = 2):
         self.model = model
         self.params = params
         self.sam_cfg = sam_cfg
@@ -346,7 +346,18 @@ class FramePipeline:
         self.fetch_format = (fetch_format
                              if fetch_format == "rgb8" or (H % 4 == 0 and W % 2 == 0)
                              else "rgb8")
-        self._pending = None
+        # pipeline depth: how many dispatched-but-unfetched frames ride in
+        # flight. depth=1 is classic double buffering (fetch N-1 at
+        # dispatch N); the default depth=2 (triple buffering) fetches N-2,
+        # giving the async device->host copy a FULL frame time to cross
+        # the TPU relay before anyone blocks on it — measured on the
+        # tunneled v5e: a blocking 512^2 fetch costs ~34 ms of RTT, of
+        # which depth=1 still exposes ~14 ms/frame; at depth=2 the copy is
+        # already host-cached and the fetch is free. Interactive staleness
+        # is `depth` frames on the pipelined path only (clicks and
+        # render_sync stay exact-frame).
+        self.depth = max(1, int(depth))
+        self._pending = []   # oldest-first in-flight frames
         self._acc = jnp.zeros((H, W, 3), jnp.float32)
         self.dispatch_count = 0  # tests assert one dispatch per frame
 
@@ -432,26 +443,28 @@ class FramePipeline:
 
     def render(self, pose, intr, points3d=None, active=None, aabb=None,
                bg_color=1.0, spp=0, key=None, mode="image", perturb=False):
-        """Pipelined: dispatch this frame, return the previous one (or this
-        one on the first call)."""
+        """Pipelined: dispatch this frame, return the oldest in-flight one
+        (this one on the first `depth` calls)."""
         new = self._dispatch(pose, intr, points3d, active, aabb, bg_color,
                              spp, key, mode, perturb)
         self._start_fetch(new)
-        prev, self._pending = self._pending, new
-        return self._fetch(prev if prev is not None else new)
+        self._pending.append(new)
+        if len(self._pending) > self.depth:
+            return self._fetch(self._pending.pop(0))
+        return self._fetch(self._pending[-1])
 
     def render_sync(self, pose, intr, points3d=None, active=None, aabb=None,
                     bg_color=1.0, spp=0, key=None, mode="image",
                     perturb=False):
-        self._pending = None
+        self._pending = []
         new = self._dispatch(pose, intr, points3d, active, aabb, bg_color,
                              spp, key, mode, perturb)
         self._start_fetch(new)
         return self._fetch(new)
 
     def flush(self):
-        if self._pending is not None:
-            out = self._fetch(self._pending)
-            self._pending = None
+        if self._pending:
+            out = self._fetch(self._pending[-1])
+            self._pending = []
             return out
         return None

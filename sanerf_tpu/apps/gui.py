@@ -181,9 +181,7 @@ def launch_gui(cfg: Config, trainer, sam_predictor=None, train_dataset=None):
             res = viewer.frame()
             import PIL.Image as Image
 
-            Image.fromarray(
-                (np.clip(res.composed, 0, 1) * 255).astype(np.uint8)
-            ).save(f"{out_dir}/frame_{i:03d}.png")
+            Image.fromarray(res.rgb_u8).save(f"{out_dir}/frame_{i:03d}.png")
         print(f"[INFO] headless frames written to {out_dir}; fps~{viewer.fps:.1f}")
         return viewer
 

@@ -37,11 +37,24 @@ from sanerf_tpu.utils.camera import fov_to_focal
 
 @dataclass
 class FrameResult:
-    rgb: np.ndarray  # [H, W, 3] display image (mode + overlays applied)
+    rgb_u8: np.ndarray  # [H, W, 3] u8 display image (mode + overlays applied)
     depth: np.ndarray  # [H/ds, W/ds] DEVICE array — np.asarray() lazily
     mask: Optional[np.ndarray] = None  # [H/ds, W/ds] bool DEVICE array
     points_2d: Optional[np.ndarray] = None  # [P, 2] full-res (x, y), host
-    composed: Optional[np.ndarray] = None  # alias of rgb (overlay included)
+    _rgb_f32: Optional[np.ndarray] = None
+
+    @property
+    def rgb(self) -> np.ndarray:
+        """[H, W, 3] f32 display image, converted from the u8 frame on
+        first access (the conversion costs ~4 ms/frame at 512^2 — paid
+        only by consumers that want floats, not by the frame loop)."""
+        if self._rgb_f32 is None:
+            self._rgb_f32 = self.rgb_u8.astype(np.float32) / 255.0
+        return self._rgb_f32
+
+    @property
+    def composed(self) -> np.ndarray:  # alias of rgb (overlay included)
+        return self.rgb
 
 
 class InteractiveSession:
@@ -184,12 +197,11 @@ class InteractiveSession:
         self._last_depth = depth_dev
         self._last_ds = ds
 
-        rgb = u8.astype(np.float32) / 255.0
         if ds > 1:
             import cv2
 
-            rgb = cv2.resize(rgb, (self.W, self.H),
-                             interpolation=cv2.INTER_LINEAR)
+            u8 = cv2.resize(u8, (self.W, self.H),
+                            interpolation=cv2.INTER_LINEAR)
 
         pts2d = np.zeros((0, 2), np.float32)
         mask = None
@@ -197,8 +209,8 @@ class InteractiveSession:
             valid = np.asarray(valid_dev).astype(bool)
             pts2d = np.asarray(pts2d_dev)[valid] * ds  # full-res coords
             mask = mask_dev  # device array; np.asarray() on demand
-        return FrameResult(rgb=rgb, depth=depth_dev, mask=mask,
-                           points_2d=pts2d, composed=rgb)
+        return FrameResult(rgb_u8=u8, depth=depth_dev, mask=mask,
+                           points_2d=pts2d)
 
 
 def overlay_mask_and_points(rgb: np.ndarray, mask: Optional[np.ndarray],
