@@ -69,7 +69,10 @@ def _load_asset():
 
 def _asset_params(model, flat):
     """Init the (with_sam-extended) param tree, then overlay every asset
-    entry; asserts the RGB field params all transferred."""
+    entry; asserts the RGB field params ALL transferred (a renamed field
+    param fails loudly). Keys outside the `params/` namespace (`ema/`
+    shadows, `__meta__`) ride the npz for provenance and are expected to
+    stay unmapped; the random-init SAM head lives only in the template."""
     import jax
 
     from sanerf_tpu.models import fields
@@ -77,14 +80,17 @@ def _asset_params(model, flat):
 
     params = fields.init_params(model, jax.random.key(0))
     tmpl = flatten_tree(params, "")
-    hits = 0
+    unmapped = []
     for k, v in flat.items():
-        k = k.split("params/", 1)[-1]
-        if k in tmpl and tmpl[k].shape == v.shape:
-            tmpl[k] = v
-            hits += 1
-    assert hits >= len([k for k in flat if k.startswith("params/")]) - 2, (
-        "asset params failed to map onto the serving model")
+        if not k.startswith("params/"):
+            continue
+        k2 = k[len("params/"):]
+        if k2 in tmpl and tmpl[k2].shape == v.shape:
+            tmpl[k2] = v
+        else:
+            unmapped.append(k)
+    assert not unmapped, (
+        f"asset params failed to map onto the serving model: {unmapped}")
     return unflatten_like(params, tmpl, "")
 
 

@@ -353,13 +353,18 @@ class FramePipeline:
         # the TPU relay before anyone blocks on it — measured on the
         # tunneled v5e: a blocking 512^2 fetch costs ~34 ms of RTT, of
         # which depth=1 still exposes ~14 ms/frame; at depth=2 the copy is
-        # already host-cached and the fetch is free. Interactive staleness
-        # is `depth` frames on the pipelined path only (clicks and
-        # render_sync stay exact-frame).
+        # already host-cached and the fetch is free. On the pipelined path
+        # the DISPLAYED frame is `depth` frames old; `last_pose` carries
+        # the pose that frame was rendered from so click lifts use the
+        # camera the user is actually looking through (render_sync frames
+        # are exact by construction).
         self.depth = max(1, int(depth))
-        self._pending = []   # oldest-first in-flight frames
+        # oldest-first in-flight frames: [device_tuple, fetched|None, pose]
+        self._pending = []
         self._acc = jnp.zeros((H, W, 3), jnp.float32)
         self.dispatch_count = 0  # tests assert one dispatch per frame
+        self.last_pose = None  # pose of the frame `render`/`render_sync`
+        #                        last RETURNED (== what the user sees)
 
     def pad_points(self, points3d, active_count=None):
         """Host 3D point list -> padded host arrays ([K, 3] f32, [K] i32).
@@ -441,17 +446,28 @@ class FramePipeline:
             u8 = np.asarray(pix)
         return u8, depth, mask, pts2d, valid
 
+    def _fetch_entry(self, entry):
+        """Fetch an in-flight entry's host tuple once; repeat returns reuse
+        the memo (the fill path returns the same oldest frame up to `depth`
+        times — without the memo each repeat would pay the np.asarray copy
+        and yuv420 unpack again)."""
+        if entry[1] is None:
+            entry[1] = self._fetch(entry[0])
+        self.last_pose = entry[2]
+        return entry[1]
+
     def render(self, pose, intr, points3d=None, active=None, aabb=None,
                bg_color=1.0, spp=0, key=None, mode="image", perturb=False):
-        """Pipelined: dispatch this frame, return the oldest in-flight one
-        (this one on the first `depth` calls)."""
+        """Pipelined: dispatch this frame, return the OLDEST in-flight one.
+        During pipeline fill the oldest frame repeats (f1, f1, f2, ...) so
+        the displayed sequence stays monotonic — never jumps backwards."""
         new = self._dispatch(pose, intr, points3d, active, aabb, bg_color,
                              spp, key, mode, perturb)
         self._start_fetch(new)
-        self._pending.append(new)
+        self._pending.append([new, None, np.asarray(pose, np.float32).copy()])
         if len(self._pending) > self.depth:
-            return self._fetch(self._pending.pop(0))
-        return self._fetch(self._pending[-1])
+            return self._fetch_entry(self._pending.pop(0))
+        return self._fetch_entry(self._pending[0])
 
     def render_sync(self, pose, intr, points3d=None, active=None, aabb=None,
                     bg_color=1.0, spp=0, key=None, mode="image",
@@ -460,11 +476,12 @@ class FramePipeline:
         new = self._dispatch(pose, intr, points3d, active, aabb, bg_color,
                              spp, key, mode, perturb)
         self._start_fetch(new)
-        return self._fetch(new)
+        return self._fetch_entry(
+            [new, None, np.asarray(pose, np.float32).copy()])
 
     def flush(self):
         if self._pending:
-            out = self._fetch(self._pending[-1])
+            out = self._fetch_entry(self._pending[-1])
             self._pending = []
             return out
         return None

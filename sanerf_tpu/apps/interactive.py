@@ -77,7 +77,11 @@ class InteractiveSession:
         self.w = max(4, int(W / 1024 * 64))
         self.points_3d: List[np.ndarray] = []  # persistent click memory
         self._pipes = {}  # (H, W) -> FramePipeline (one per downscale)
-        self._last_depth = None  # device depth of the latest dispatched frame
+        # depth + pose of the frame the user is LOOKING AT (on the
+        # pipelined path that frame is `depth` dispatches old — a click on
+        # it must lift through its own camera, not the current one)
+        self._last_depth = None
+        self._last_pose = None
         self._last_ds = 1
 
     @property
@@ -174,15 +178,19 @@ class InteractiveSession:
         pipe = self._pipe(Hs, Ws)
 
         if click is not None:
-            # lift through the previous frame's depth (fetched only now);
-            # first click with no frame yet renders one synchronously
+            # lift through the DISPLAYED frame's depth + pose (the user
+            # clicked on that frame; under pipelining it is `depth`
+            # dispatches old and its camera may differ from the current
+            # one). First click with no frame yet renders one synchronously.
             if (self._last_depth is None
                     or self._last_depth.shape != (Hs, Ws)):
                 p3, act = pipe.pad_points(self.points_3d)
                 out = pipe.render_sync(pose, intr_ds, p3, act, aabb=aabb,
                                        bg_color=bg_color, mode=mode)
                 self._last_depth = out[1]
-            self.toggle_point(click[0], click[1], pose,
+                self._last_pose = pipe.last_pose
+            self.toggle_point(click[0], click[1],
+                              np.asarray(self._last_pose, np.float32),
                               np.asarray(self._last_depth),
                               depth_scale=ds)
 
@@ -194,7 +202,10 @@ class InteractiveSession:
         u8, depth_dev, mask_dev, pts2d_dev, valid_dev = render(
             pose, intr_ds, p3, act, aabb=aabb, bg_color=bg_color,
             spp=spp, key=key, mode=mode, perturb=key is not None)
+        # the returned tuple (incl. depth) belongs to the DISPLAYED frame;
+        # pipe.last_pose is that frame's camera
         self._last_depth = depth_dev
+        self._last_pose = pipe.last_pose
         self._last_ds = ds
 
         if ds > 1:

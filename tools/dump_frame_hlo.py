@@ -51,11 +51,13 @@ def main():
     packed = np.zeros((28 + 4 * K,), np.float32)
     packed[:16] = pose.reshape(-1)
     packed[16:20] = intr
+    # mirror the session's actual static args (mesh/overlay/transport) so
+    # the dump IS the benched executable, not a second cache entry
     lowered = fp._frame_program.lower(
         pipe.model, pipe.params, pipe.sam_cfg, pipe.sam_params,
         packed, pipe._acc, None, hw=pipe.hw, feat_hw=pipe.feat_hw,
         input_hw=pipe.input_hw, mode="image", perturb=False,
-        with_overlay=True, mesh=None, mesh_axis="data",
+        with_overlay=pipe.overlay, mesh=pipe.mesh, mesh_axis=pipe.mesh_axis,
         fetch_format=pipe.fetch_format, use_aabb=False)
     compiled = lowered.compile()
     txt = compiled.as_text()
