@@ -45,6 +45,18 @@ COMBOS = [
      {"mlp_field_depth": 3, "mlp_cp_rank": 128, "mlp_cp_res": 512,
       "mlp_cp_levels": 2, "mlp_sigma_cp_rank": 32,
       "mlp_sigma_cp_res": 512}),
+    # round-5: the opt-in kernels ON TOP of the actual served shape (the
+    # CP-only student bench.py serves) — the 30 fps attack surface
+    ("serving+packed", {"cp_fused": True, "packed_epilogue": True},
+     {"mlp_field_depth": 3, "mlp_cp_rank": 96, "mlp_cp_res": 256,
+      "mlp_sigma_cp_rank": 32, "mlp_sigma_cp_res": 256}),
+    ("serving+flatten", {"cp_fused": True, "flatten_kernel": True},
+     {"mlp_field_depth": 3, "mlp_cp_rank": 96, "mlp_cp_res": 256,
+      "mlp_sigma_cp_rank": 32, "mlp_sigma_cp_res": 256}),
+    ("serving+pk+fl", {"cp_fused": True, "packed_epilogue": True,
+                       "flatten_kernel": True},
+     {"mlp_field_depth": 3, "mlp_cp_rank": 96, "mlp_cp_res": 256,
+      "mlp_sigma_cp_rank": 32, "mlp_sigma_cp_res": 256}),
     # T=24 block retune (the 4096/16384 defaults were tuned at T=32)
     ("block2048", {"fused_block": 2048}, {}),
     ("block8192", {"fused_block": 8192}, {}),

@@ -43,6 +43,10 @@ def main():
     ap.add_argument("--steps", default="32,24")
     ap.add_argument("--tol", type=float, default=3e-2,
                     help="bf16 fused vs f32 XLA tolerance on [0,1] rgb")
+    ap.add_argument("--packed", action="store_true",
+                    help="also set packed_epilogue on the fast config")
+    ap.add_argument("--flatten", action="store_true",
+                    help="also set flatten_kernel on the fast config")
     args = ap.parse_args()
     steps = tuple(int(s) for s in args.steps.split(","))
 
@@ -55,7 +59,8 @@ def main():
     failures = 0
     for name, mc_over in SHAPES.items():
         rc = RenderConfig(num_steps=steps, bound=128.0, contract=True,
-                          cp_fused=True)
+                          cp_fused=True, packed_epilogue=args.packed,
+                          flatten_kernel=args.flatten)
         rc_slow = dataclasses.replace(rc, use_fused_mlp=False,
                                       cp_fused=False)
         mc = ModelConfig(field_type="mlp", **mc_over)
