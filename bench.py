@@ -168,6 +168,59 @@ def _eval_psnr(session) -> float:
     return float(meter.measure())
 
 
+def _eval_mask_miou(num_steps) -> "float | None":
+    """Interactive-segmentation quality of the served artifact: held-out
+    mIoU of the stage-3 mask head trained ON the serving student
+    (tools/mask_asset.py -> assets/serving_student_mask.*), rendered
+    through the serving path at the benched inference hierarchy.
+    Reference workload: the mask branch, nerf/utils.py:941-1070; eval
+    protocol evaluation.py:133-154."""
+    import dataclasses
+
+    mask_asset = ASSET + "_mask"
+    if not (os.path.exists(mask_asset + ".npz")
+            and os.path.exists(ASSET + ".npz")):
+        return None
+    import jax
+    import jax.numpy as jnp
+
+    from sanerf_tpu.data.synthetic import SyntheticSphereDataset
+    from sanerf_tpu.models import fields, renderer
+    from sanerf_tpu.train.checkpoints import flatten_tree, unflatten_like
+    from sanerf_tpu.train.metrics import MeanIoUMeter
+
+    mc, rc, flat = _load_asset()
+    with open(mask_asset + ".json") as f:
+        mmeta = json.load(f)
+    rc = dataclasses.replace(rc, num_steps=num_steps, max_ray_batch=128 * 128)
+    mc = dataclasses.replace(mc, with_sam=False, with_mask=True,
+                             mask_mlp_type=mmeta["mask_mlp_type"],
+                             n_inst=mmeta["n_inst"])
+    model = fields.make_model(mc, rc)
+    params = fields.init_params(model, jax.random.key(0))
+    tmpl = flatten_tree(params, "")
+    for src in (flat, dict(np.load(mask_asset + ".npz"))):
+        for k, v in src.items():
+            if k.startswith("params/"):
+                k2 = k[len("params/"):]
+                if k2 in tmpl and tmpl[k2].shape == v.shape:
+                    tmpl[k2] = v
+    params = fields.cast_params(unflatten_like(params, tmpl, ""),
+                                jnp.bfloat16)
+    ds = SyntheticSphereDataset(H=128, W=128, n_views=8, radius=1.8,
+                                scene="textured", training=False)
+    meter = MeanIoUMeter()
+    for idx in range(len(ds)):
+        fr = ds.frame(idx)
+        out = renderer.render_staged(
+            model, params, jnp.asarray(fr["rays_o"]),
+            jnp.asarray(fr["rays_d"]), return_mask=True,
+            cam_near_far=jnp.asarray(fr["cam_near_far"]))
+        pred = np.asarray(jnp.argmax(out["instance_mask_logits"], -1))
+        meter.update(pred, fr["masks"])
+    return float(meter.measure())
+
+
 def _drive(session, n_frames=7, sync=False):
     """Time steady-state frames through the product loop (one click set)."""
     pose = np.array([[1, 0, 0, 0], [0, 1, 0, 0],
@@ -209,7 +262,18 @@ def main():
     dt, compile_s = _drive(session)
     fps = 1.0 / dt
     lat, _ = _drive(session, n_frames=5, sync=True)
+    # split the sync latency into device compute vs tunnel (VERDICT r4
+    # item 3: the relay's RTT swings 27-90 ms between sessions with no
+    # code change; the device number is the stable product evidence)
+    from tools.relay_probe import probe_device_frame, probe_rtt
+
+    pose = np.array([[1, 0, 0, 0], [0, 1, 0, 0],
+                     [0, 0, 1, 2.0], [0, 0, 0, 1]], np.float32)
+    rtt_ms = probe_rtt()
+    device_ms = probe_device_frame(session, pose,
+                                   session.intrinsics_for(pose))
     psnr = _eval_psnr(session) if has_asset else None
+    miou = _eval_mask_miou((32, 24)) if has_asset else None
 
     # apples-to-apples: the reference's full sampling hierarchy
     session_full, _ = _build_session((128, 64, 32))
@@ -223,12 +287,16 @@ def main():
         "vs_baseline": round(fps / BASELINE_FPS, 3),
         "psnr_db": None if psnr is None else round(psnr, 2),
         "latency_ms": round(lat * 1000, 1),
+        "latency_device_ms": round(device_ms, 1),
+        "relay_rtt_ms": round(rtt_ms, 1),
+        "mask_miou": None if miou is None else round(miou, 3),
         "full_hierarchy_fps": round(fps_full, 3),
     }
     print(json.dumps(result))
     print(
         f"# artifact: {'assets/serving_student (trained)' if has_asset else 'random-init flagship (no asset)'} | "
-        f"median frame {dt*1000:.0f} ms (sync latency {lat*1000:.0f} ms; "
+        f"median frame {dt*1000:.0f} ms (sync latency {lat*1000:.0f} ms wall"
+        f" = {device_ms:.0f} ms device + tunnel, rtt {rtt_ms:.0f} ms; "
         f"full hierarchy {dt_full*1000:.0f} ms) | compile {compile_s:.0f} s | "
         f"device {jax.devices()[0].device_kind}",
         file=sys.stderr,

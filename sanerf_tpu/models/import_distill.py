@@ -59,7 +59,10 @@ def student_config(teacher_cfg: ModelConfig, cp_rank: int = 0,
                    vm_res: int = 64, vm_levels: int = 1,
                    sigma_cp_rank: int = 0, sigma_cp_res: int = 256,
                    sigma_vm_rank: int = 0, sigma_vm_res: int = 128,
-                   depth: Optional[int] = None) -> ModelConfig:
+                   depth: Optional[int] = None,
+                   width: Optional[int] = None,
+                   prop_width: Optional[int] = None,
+                   prop_depth: Optional[int] = None) -> ModelConfig:
     """The MLP-family twin of a hash-grid config: same heads, same feature
     dims, field_type flipped. `cp_rank > 0` gives the student a
     CP-factorized line grid (ops/cpgrid.py), `vm_rank > 0` a TensoRF-VM
@@ -67,7 +70,23 @@ def student_config(teacher_cfg: ModelConfig, cp_rank: int = 0,
     tables — all matmul-only lookups, all consumed in-kernel by the fused
     inference path under cp_fused (multi-level ladders included). `depth`
     overrides mlp_field_depth: the measured-best grid student is a SHALLOW
-    decoder (depth 3) over high-resolution ladders."""
+    decoder (depth 3) over high-resolution ladders. `width` slims the field
+    MLP (the MXU cost of the fused chain scales ~linearly in width);
+    `prop_width`/`prop_depth` slim the served proposal net — its [64, 48]
+    dots run at <20% MXU tile utilization, so a depth-2 prop cuts real
+    milliseconds at matched sample placement."""
+
+    def _extras(cfg):
+        if depth is not None:
+            cfg = dataclasses.replace(cfg, mlp_field_depth=depth)
+        if width is not None:
+            cfg = dataclasses.replace(cfg, mlp_field_width=width)
+        if prop_width is not None:
+            cfg = dataclasses.replace(cfg, mlp_prop_width=prop_width)
+        if prop_depth is not None:
+            cfg = dataclasses.replace(cfg, mlp_prop_depth=prop_depth)
+        return cfg
+
     if teacher_cfg.field_type == "mlp":
         # MLP-family (grid-augmented) teacher: keep its head feature dims
         # verbatim (same-family serving distillation) and swap the tables
@@ -77,9 +96,7 @@ def student_config(teacher_cfg: ModelConfig, cp_rank: int = 0,
             mlp_vm_rank=vm_rank, mlp_vm_res=vm_res, mlp_vm_levels=vm_levels,
             mlp_sigma_cp_rank=sigma_cp_rank, mlp_sigma_cp_res=sigma_cp_res,
             mlp_sigma_vm_rank=sigma_vm_rank, mlp_sigma_vm_res=sigma_vm_res)
-        if depth is not None:
-            cfg = dataclasses.replace(cfg, mlp_field_depth=depth)
-        return cfg
+        return _extras(cfg)
     # mask-feature width tracks the teacher's m_grid output
     # (fields.make_model: default 16x8, lightweight 16x2)
     mask_dim = {"default": 128, "lightweight_mask": 32}.get(
@@ -101,9 +118,7 @@ def student_config(teacher_cfg: ModelConfig, cp_rank: int = 0,
                           * teacher_cfg.s_grid_level_dim),
         mlp_mask_feat_dim=mask_dim,
     )
-    if depth is not None:
-        cfg = dataclasses.replace(cfg, mlp_field_depth=depth)
-    return cfg
+    return _extras(cfg)
 
 
 def _sample_points(key: jax.Array, n: int, bound: float) -> jax.Array:

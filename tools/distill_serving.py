@@ -62,6 +62,14 @@ def main(argv=None):
     ap.add_argument("--serve_vm_levels", type=int, default=1)
     ap.add_argument("--serve_sigma_cp_rank", type=int, default=0)
     ap.add_argument("--serve_sigma_cp_res", type=int, default=512)
+    ap.add_argument("--serve_width", type=int, default=None,
+                    help="serving field MLP width (default: teacher's; the "
+                         "fused chain's MXU cost scales ~linearly in width)")
+    ap.add_argument("--serve_prop_width", type=int, default=None,
+                    help="serving proposal-net width (its small dots run "
+                         "below MXU tile utilization — slimming cuts real "
+                         "frame ms at matched sample placement)")
+    ap.add_argument("--serve_prop_depth", type=int, default=None)
     ap.add_argument("--render_check", type=int, default=2,
                     help="orbit frames for the fidelity PSNR (0 = skip)")
     args = ap.parse_args(argv)
@@ -94,7 +102,9 @@ def main(argv=None):
         vm_levels=args.serve_vm_levels,
         sigma_cp_rank=args.serve_sigma_cp_rank,
         sigma_cp_res=args.serve_sigma_cp_res,
-        depth=args.serve_depth), cfg.render)
+        depth=args.serve_depth, width=args.serve_width,
+        prop_width=args.serve_prop_width,
+        prop_depth=args.serve_prop_depth), cfg.render)
     assert student.grid_table_bytes <= cfg.render.grid_vmem_budget, (
         "serving student still exceeds the VMEM budget "
         f"({student.grid_table_bytes / 2**20:.1f} MiB)")

@@ -75,7 +75,7 @@ def run_family(field_type: str, args, mlp_width: int | None = None) -> dict:
                      lambda_tv=args.tv, lambda_l1_grid=args.l1,
                      grid_upsample_steps=tuple(args.upsample_steps),
                      grid_lr_mult=args.grid_lr_mult,
-                     lr=args.lr, eval_cnt=1, save_cnt=1,
+                     lr=args.lr, eval_cnt=1, save_cnt=args.save_cnt,
                      anneal_iters=args.anneal_iters,
                      use_native_loader=not args.no_native)
     cfg = Config(workspace=f"{args.workspace}/{field_type}"
@@ -104,7 +104,7 @@ def run_family(field_type: str, args, mlp_width: int | None = None) -> dict:
 
     model = fields.make_model(mc, rc)
     tr = Trainer(field_type, cfg, model, workspace=cfg.workspace,
-                 use_checkpoint="scratch",
+                 use_checkpoint="latest" if args.resume else "scratch",
                  metrics=[PSNRMeter(), SSIMMeter()])
     t0 = time.time()
     steps_per_epoch = min(500, args.iters)
@@ -174,6 +174,12 @@ def main(argv=None):
     ap.add_argument("--workspace", default="/tmp/quality_gate")
     ap.add_argument("--save_artifacts", action="store_true")
     ap.add_argument("--no_native", action="store_true")
+    ap.add_argument("--resume", action="store_true",
+                    help="resume from the workspace's latest checkpoint "
+                         "(relay-drop recovery for multi-hour runs)")
+    ap.add_argument("--save_cnt", type=int, default=1,
+                    help="checkpoint count over the run (set ~= epoch count "
+                         "for per-epoch crash safety on long runs)")
     args = ap.parse_args(argv)
 
     results = []
