@@ -64,7 +64,7 @@ def eval_workspace(ws: str, num_steps=None, bf16=True) -> dict:
 def main(argv=None):
     wss = (argv or sys.argv[1:]) or ["/tmp/serving_student"]
     for ws in wss:
-        for steps in ((32, 24), None):
+        for steps in ((24, 16), (32, 24), None):
             print(json.dumps(eval_workspace(ws, num_steps=steps)), flush=True)
 
 
