@@ -33,6 +33,19 @@ SHAPES = {
     "w128cp64r128": {"mlp_field_width": 128, "mlp_field_depth": 3,
                      "mlp_cp_rank": 64, "mlp_cp_res": 128,
                      "mlp_sigma_cp_rank": 32, "mlp_sigma_cp_res": 128},
+    # separate the levers: rank 64 at full res-256 tables
+    "w128cp64r256": {"mlp_field_width": 128, "mlp_field_depth": 3,
+                     "mlp_cp_rank": 64, "mlp_cp_res": 256,
+                     "mlp_sigma_cp_rank": 32, "mlp_sigma_cp_res": 256},
+    # proposal-net slimming (its small dots run <20% MXU tile utilization)
+    "slim_propd2": {"mlp_field_width": 128, "mlp_field_depth": 3,
+                    "mlp_cp_rank": 64, "mlp_cp_res": 128,
+                    "mlp_sigma_cp_rank": 32, "mlp_sigma_cp_res": 128,
+                    "mlp_prop_depth": 2},
+    "slim_propd2w32": {"mlp_field_width": 128, "mlp_field_depth": 3,
+                       "mlp_cp_rank": 64, "mlp_cp_res": 128,
+                       "mlp_sigma_cp_rank": 32, "mlp_sigma_cp_res": 128,
+                       "mlp_prop_depth": 2, "mlp_prop_width": 32},
 }
 
 

@@ -28,6 +28,15 @@ def main(argv=None):
     ap = argparse.ArgumentParser()
     ap.add_argument("--out_workspace", required=True)
     ap.add_argument("--out_name", default="ngp")
+    ap.add_argument("--teacher", default="asset",
+                    choices=["asset", "qg_hashgrid", "qg_mlp"],
+                    help="'asset' = the committed serving asset; "
+                         "'qg_hashgrid'/'qg_mlp' = a tools/quality_gate.py "
+                         "workspace (its exact fixture protocol configs)")
+    ap.add_argument("--teacher_workspace", default="/tmp/qg20k/hashgrid")
+    ap.add_argument("--teacher_name", default=None,
+                    help="checkpoint prefix (default: quality_gate family "
+                         "name inferred from --teacher)")
     ap.add_argument("--cp_rank", type=int, default=64)
     ap.add_argument("--cp_res", type=int, default=128)
     ap.add_argument("--sigma_cp_rank", type=int, default=32)
@@ -55,16 +64,40 @@ def main(argv=None):
     from sanerf_tpu.models import fields, import_distill
     from sanerf_tpu.train.checkpoints import CheckpointManager, unflatten_like
 
-    asset = _load_asset()
-    assert asset is not None, "assets/serving_student.* missing"
-    mc, rc, flat = asset
-    mc = dataclasses.replace(mc, with_sam=False)
-    teacher = fields.make_model(mc, rc)
-    template = fields.init_params(teacher, jax.random.key(0))
-    tparams = unflatten_like(template, {k[len("params/"):]: v
-                                        for k, v in flat.items()
-                                        if k.startswith("params/")}, "")
+    if args.teacher == "asset":
+        asset = _load_asset()
+        assert asset is not None, "assets/serving_student.* missing"
+        mc, rc, flat = asset
+        mc = dataclasses.replace(mc, with_sam=False)
+        teacher = fields.make_model(mc, rc)
+        template = fields.init_params(teacher, jax.random.key(0))
+        tparams = unflatten_like(template, {k[len("params/"):]: v
+                                            for k, v in flat.items()
+                                            if k.startswith("params/")}, "")
+        teacher_src = "assets/serving_student"
+    else:
+        # a tools/quality_gate.py workspace: rebuild its EXACT fixture
+        # protocol configs (run_family) so checkpoint shapes match
+        from sanerf_tpu.config import ModelConfig, RenderConfig
 
+        fam = "hashgrid" if args.teacher == "qg_hashgrid" else "mlp"
+        mc = ModelConfig(field_type=fam, prop_resolutions=(128, 256))
+        rc = RenderConfig(num_steps=(128, 64, 32), bound=4.0, contract=True,
+                          min_near=0.5, max_ray_batch=65536)
+        teacher = fields.make_model(mc, rc)
+        template = fields.init_params(teacher, jax.random.key(0))
+        mgr_t = CheckpointManager(args.teacher_workspace,
+                                  name=args.teacher_name or fam)
+        restored = mgr_t.load("latest", template, model_only=True)
+        assert restored is not None, f"no ckpt in {args.teacher_workspace}"
+        params_t, ema_t, _, meta_t = restored
+        tparams = ema_t if ema_t is not None else params_t
+        teacher_src = (f"{args.teacher_workspace} "
+                       f"(step {meta_t.get('step')})")
+    print(f"[redistill] teacher = {args.teacher}: {teacher_src}")
+
+    if args.teacher != "asset" and args.depth is None:
+        args.depth = 3  # the measured-best serving decoder depth
     student = fields.make_model(import_distill.student_config(
         mc, cp_rank=args.cp_rank, cp_res=args.cp_res,
         sigma_cp_rank=args.sigma_cp_rank, sigma_cp_res=args.sigma_cp_res,
@@ -80,7 +113,7 @@ def main(argv=None):
     with open(os.path.join(args.out_workspace, "serving_meta.json"), "w") as f:
         json.dump({"model_config": dataclasses.asdict(sm.cfg),
                    "render_config": dataclasses.asdict(rc),
-                   "teacher": "assets/serving_student",
+                   "teacher": teacher_src,
                    "report": {k: (v if not isinstance(v, dict) else
                                   {kk: round(float(vv), 6)
                                    for kk, vv in v.items()})
