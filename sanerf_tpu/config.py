@@ -51,6 +51,18 @@ class RenderConfig:
     # primary hierarchy can re-tune on hardware (tools/ab_flags.py).
     fused_block: int = 4096
     fused_prop_block: int = 16384
+    # run the SH encode + per-ray view MLP inside the composite kernel's
+    # epilogue (True) or as XLA ops on the composited per-ray sums
+    # (False; the composite itself stays fused either way). Measured both
+    # ways on a v5e chip with xprof (round 5, tools/trace_frame.py,
+    # 512^2 @ (24, 16) on the serving student): in-kernel 32.8 ms/frame
+    # (kernel 16.1), XLA view 39.8 ms/frame (kernel drops only to 14.4
+    # while jnp sh_encode costs 8.0 ms — its [N, 3]-sliced polynomial
+    # ops get 5-14 GB/s layouts). Standalone kernel microbenches say the
+    # opposite (tools/kbench.py: view epilogue +5.9 ms at T=16) but the
+    # microbench feeds synthetic layouts; the frame profile is the
+    # ground truth, so in-kernel stays the default.
+    view_in_kernel: bool = True
     # do the [3, N, T] -> [3, N*T] pivot between the ray-geometry kernels
     # and the fused MLP kernels in a VMEM Pallas kernel
     # (ops/ray_kernels.flatten3_nt) instead of XLA's windowed-loop reshape

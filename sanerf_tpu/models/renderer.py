@@ -212,15 +212,27 @@ def run_rays(
             # never reaches HBM and the XLA composite fusion (profiled
             # ~10 ms/frame of loopified broadcast-reduce) disappears
             if fast_epi:
-                # the SH encode + per-ray view MLP also run in the kernel's
-                # epilogue (profiled ~12 ms/frame of XLA glue at 512^2)
-                _gsum_epi, depth_epi, wsum_epi, rgb_epi = (
-                    fields.field_composite_T(
-                        model, params, xyzs_T,
-                        dl_p if pq else dl, ts_p if pq else rays_t,
+                if cfg.view_in_kernel or pq:
+                    # SH encode + per-ray view MLP in the kernel's epilogue
+                    # (the packed-epilogue path only exists in-kernel)
+                    _gsum_epi, depth_epi, wsum_epi, rgb_epi = (
+                        fields.field_composite_T(
+                            model, params, xyzs_T,
+                            dl_p if pq else dl, ts_p if pq else rays_t,
+                            opaque=cfg.background == "last_sample",
+                            rays8=rays8, with_view=True,
+                            pack_q=pq or 1, T=T if pq else None))
+                else:
+                    # serving default: composite fused in-kernel (the
+                    # [16, N*T] field tensor never reaches HBM), SH + view
+                    # MLP as XLA ops on the per-ray sums — measured faster
+                    # than the in-kernel view epilogue at every serving T
+                    # (see RenderConfig.view_in_kernel)
+                    gsum_epi, depth_epi, wsum_epi = fields.field_composite_T(
+                        model, params, xyzs_T, dl, rays_t,
                         opaque=cfg.background == "last_sample",
-                        rays8=rays8, with_view=True,
-                        pack_q=pq or 1, T=T if pq else None))
+                        with_view=False)
+                    rgb_epi = None
                 sigmas = None
             elif fast_comp:
                 # dims-first field query; compositing stays transposed (the
@@ -267,10 +279,18 @@ def run_rays(
     per_ray = lambda x: x.reshape(N, T_last, -1)
 
     if fast_epi:
-        # everything per-ray came out of the kernel epilogue already
+        # per-ray sums came out of the kernel epilogue already
         weights_sum = wsum_epi
         depth = depth_epi
-        f_image = None
+        if rgb_epi is None:
+            # hybrid: view head in XLA over the kernel's per-ray sums
+            # (identical math to the fast_comp tail below)
+            g_sum = gsum_epi[:, 1 : 1 + mc.geom_feat_dim]
+            sh_ray = sh_encode(dirs_ray, mc.sh_degree)
+            f_image = jnp.concatenate(
+                [g_sum, weights_sum[:, None] * sh_ray], axis=-1)
+        else:
+            f_image = None
         geo_feat = None
         colors = None
         geo_sum_for_mid = None
@@ -296,8 +316,11 @@ def run_rays(
 
     view_inter = []
     f_colors = None
-    if fast_epi:
+    if fast_epi and rgb_epi is not None:
         image = rgb_epi  # sigmoid applied in-kernel; bg blend below
+    elif fast_epi:
+        rgb_logits, _ = fields.apply_mlp(params["view_mlp"], f_image)
+        image = jax.nn.sigmoid(rgb_logits)
     elif mc.sum_after_mlp:
         # per-sample view MLP then composite (renderer.py:339-342)
         f_colors, view_inter = fields.apply_mlp(params["view_mlp"], colors, save_inter)
