@@ -264,10 +264,13 @@ def main():
     smoke = bool(os.environ.get("BENCH_SMOKE"))
     size = 64 if smoke else 512
 
-    # primary: quality-gated reduced inference hierarchy (tools/
-    # hierarchy_gate.py measures the swap on the trained artifact; see
-    # README "Performance"). Training/offline eval keep (128, 64, 32).
-    session, has_asset = _build_session((32, 24), size=size)
+    # primary: quality-gated reduced inference hierarchy, measured on the
+    # trained artifact itself (tools/hsweep.py, round 5: the slim student
+    # scores 19.12 dB at (32, 24) and 19.02 dB at (24, 16) held-out —
+    # the (24, 16) swap costs 0.10 dB and stays above the 19 dB bar
+    # while cutting the frame 46 -> 41 ms device). Training/offline eval
+    # keep (128, 64, 32).
+    session, has_asset = _build_session((24, 16), size=size)
     dt, compile_s = _drive(session, n_frames=2 if smoke else 7)
     fps = 1.0 / dt
     lat, _ = _drive(session, n_frames=2 if smoke else 5, sync=True)
@@ -283,7 +286,7 @@ def main():
                                    session.intrinsics_for(pose),
                                    n=4 if smoke else 16)
     psnr = _eval_psnr(session) if has_asset else None
-    miou = _eval_mask_miou((32, 24)) if has_asset else None
+    miou = _eval_mask_miou((24, 16)) if has_asset else None
 
     # apples-to-apples: the reference's full sampling hierarchy
     session_full, _ = _build_session((128, 64, 32), size=size)
