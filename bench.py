@@ -301,6 +301,7 @@ def main():
         "psnr_db": None if psnr is None else round(psnr, 2),
         "latency_ms": round(lat * 1000, 1),
         "latency_device_ms": round(device_ms, 1),
+        "device_fps": round(1000.0 / max(device_ms, 1e-9), 2),
         "relay_rtt_ms": round(rtt_ms, 1),
         "mask_miou": None if miou is None else round(miou, 3),
         "full_hierarchy_fps": round(fps_full, 3),

@@ -112,7 +112,12 @@ def label_regularization(
     if axis_name is not None:
         nx, dx_, ny, dy_ = (jax.lax.psum(v, axis_name)
                             for v in (nx, dx_, ny, dy_))
-    return nx / dx_ + ny / dy_
+    # patch_size < 2 makes the diff axes empty -> 0/0; the regularizer is
+    # then vacuous (no in-patch neighbors), not infinite — return 0, and
+    # keep the value finite so a logged total loss stays meaningful (the
+    # nan carried ZERO gradient — empty reductions — so it only poisoned
+    # the report)
+    return nx / jnp.maximum(dx_, 1e-12) + ny / jnp.maximum(dy_, 1e-12)
 
 
 def rgb_similarity_loss(

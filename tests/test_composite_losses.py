@@ -153,3 +153,14 @@ def test_rgb_similarity_loss_agreement_lower(rng):
     l_agree = float(rgb_similarity_loss(key, rgb, jnp.asarray(agree), incoh))
     l_conf = float(rgb_similarity_loss(key, rgb, jnp.asarray(conflict), incoh))
     assert l_agree < l_conf
+
+
+def test_label_regularization_degenerate_patch_finite(rng):
+    """patch_size=1 has no in-patch neighbors: the diff axes are empty and
+    the regularizer must be 0.0, not 0/0=nan (the nan carried zero
+    gradient but poisoned every logged total loss that included it)."""
+    n = 64
+    depth = jnp.asarray(rng.uniform(1, 3, (n,)).astype(np.float32))
+    masks = jnp.asarray(rng.uniform(0, 1, (n, 4)).astype(np.float32))
+    val = float(label_regularization(depth, masks, 1, 4))
+    assert np.isfinite(val) and val == 0.0

@@ -86,7 +86,12 @@ def main(argv=None):
                                    num_rays=args.num_rays,
                                    adaptive_num_rays=False,
                                    eval_cnt=1, save_cnt=1),
-                 mask=MaskTrainConfig(label_regularization_weight=0.01))
+                 # label_regularization is a PATCH smoothness prior; this
+                 # tool trains on uniform random rays (no patch structure),
+                 # so the regularizer is vacuous here — weight 0 (the
+                 # reference applies it over local 16x16 patches,
+                 # utils.py:1028-1030, which collate_mask doesn't sample)
+                 mask=MaskTrainConfig(label_regularization_weight=0.0))
     train_ds = SyntheticSphereDataset(H=args.H, W=args.H, n_views=args.views,
                                       scene="textured")
     eval_ds = SyntheticSphereDataset(H=args.H, W=args.H, n_views=8,
