@@ -265,12 +265,14 @@ def main():
     size = 64 if smoke else 512
 
     # primary: quality-gated reduced inference hierarchy, measured on the
-    # trained artifact itself (tools/hsweep.py, round 5: the slim student
-    # scores 19.12 dB at (32, 24) and 19.02 dB at (24, 16) held-out —
-    # the (24, 16) swap costs 0.10 dB and stays above the 19 dB bar
-    # while cutting the frame 46 -> 41 ms device). Training/offline eval
-    # keep (128, 64, 32).
-    session, has_asset = _build_session((24, 16), size=size)
+    # trained artifact itself (tools/hsweep.py, round 5: the
+    # hashgrid-ceiling-distilled student scores 19.35 dB at (32, 24) and
+    # 18.83 at (24, 16) — its sharper geometry is hierarchy-sensitive, so
+    # (24, 16) fails the >= 19 dB bar and (32, 24) serves). Training/
+    # offline eval keep (128, 64, 32), where this artifact scores
+    # 21.27 dB — above the 19.71 dB 20k on-chip ceiling of the
+    # reference's own architecture.
+    session, has_asset = _build_session((32, 24), size=size)
     dt, compile_s = _drive(session, n_frames=2 if smoke else 7)
     fps = 1.0 / dt
     lat, _ = _drive(session, n_frames=2 if smoke else 5, sync=True)
@@ -286,7 +288,7 @@ def main():
                                    session.intrinsics_for(pose),
                                    n=4 if smoke else 16)
     psnr = _eval_psnr(session) if has_asset else None
-    miou = _eval_mask_miou((24, 16)) if has_asset else None
+    miou = _eval_mask_miou((32, 24)) if has_asset else None
 
     # apples-to-apples: the reference's full sampling hierarchy
     session_full, _ = _build_session((128, 64, 32), size=size)
