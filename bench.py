@@ -265,14 +265,15 @@ def main():
     size = 64 if smoke else 512
 
     # primary: quality-gated reduced inference hierarchy, measured on the
-    # trained artifact itself (tools/hsweep.py, round 5: the
-    # hashgrid-ceiling-distilled student scores 19.35 dB at (32, 24) and
-    # 18.83 at (24, 16) — its sharper geometry is hierarchy-sensitive, so
-    # (24, 16) fails the >= 19 dB bar and (32, 24) serves). Training/
-    # offline eval keep (128, 64, 32), where this artifact scores
-    # 21.27 dB — above the 19.71 dB 20k on-chip ceiling of the
-    # reference's own architecture.
-    session, has_asset = _build_session((32, 24), size=size)
+    # trained artifact itself. Round 5's serving-hierarchy finetune
+    # (tools/serve_finetune.py, 1500 iters AT (32, 16)) removed the
+    # sampling-sparsity tax: the asset scores 21.21 dB held-out at
+    # (32, 16) — up from 18.88 before the finetune — and 21.39 at the
+    # full (128, 64, 32) hierarchy (also improved), so the fastest swept
+    # hierarchy now clears the >= 19 dB bar with 2.2 dB of margin and
+    # (32, 16) serves (tools/hsweep.py round 5: ~44-48 ms device vs
+    # 50 ms at the previous (32, 24)).
+    session, has_asset = _build_session((32, 16), size=size)
     dt, compile_s = _drive(session, n_frames=2 if smoke else 7)
     fps = 1.0 / dt
     lat, _ = _drive(session, n_frames=2 if smoke else 5, sync=True)
@@ -288,7 +289,7 @@ def main():
                                    session.intrinsics_for(pose),
                                    n=4 if smoke else 16)
     psnr = _eval_psnr(session) if has_asset else None
-    miou = _eval_mask_miou((32, 24)) if has_asset else None
+    miou = _eval_mask_miou((32, 16)) if has_asset else None
 
     # apples-to-apples: the reference's full sampling hierarchy
     session_full, _ = _build_session((128, 64, 32), size=size)

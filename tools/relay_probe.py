@@ -82,7 +82,7 @@ def probe_device_frame(session, pose, intr, n: int = 16) -> float:
 
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument("--steps", default="32,24")
+    ap.add_argument("--steps", default="32,16")
     ap.add_argument("--size", type=int, default=512)
     ap.add_argument("--frames", type=int, default=16)
     args = ap.parse_args()

@@ -1,7 +1,7 @@
 """Per-op device profile of the benched interactive frame.
 
 Builds the exact session bench.py serves (the committed serving asset,
-quality-gated (32, 24) hierarchy by default) and prints tools/trace.py's
+quality-gated (32, 16) hierarchy by default) and prints tools/trace.py's
 ranked device-op table for one pipelined `InteractiveSession.step` — the
 ground truth for where the frame's device milliseconds go.
 
@@ -21,7 +21,7 @@ from tools.trace import trace_report  # noqa: E402
 
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument("--steps", default="32,24")
+    ap.add_argument("--steps", default="32,16")
     ap.add_argument("--size", type=int, default=512)
     ap.add_argument("--no-asset", action="store_true")
     ap.add_argument("--top", type=int, default=30)
